@@ -1,0 +1,97 @@
+"""Benchmark: DIP iterations/second on the flagship denoising workload.
+
+Measures the steady-state throughput of the jitted lax.scan fit loop —
+skip-128x5 generator, 512^2 image, input_depth 32, MSE + EMA + on-device
+PSNR (the denoising.ipynb recipe) — optionally vmapped over a batch of
+images.  `vs_baseline` compares against the PyTorch 0.4 reference's
+single-GPU throughput on this workload, which the reference doesn't publish
+(BASELINE.md); we use 10 it/s as the documented assumption for a
+reference-era GPU running denoising.ipynb (cell 10 syncs to host every
+iteration, which bounds it regardless of GPU speed).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import numpy as np
+
+REFERENCE_ITERS_PER_SEC = 10.0
+
+
+def run_bench(size: int = 512, iters: int = 100, batch: int = 1,
+              warmup_iters: int = 20, print_json: bool = True) -> dict:
+    import jax.numpy as jnp
+
+    from dip_tpu.fit.engine import Engine, FitConfig, default_metrics
+    from dip_tpu.models import Skip
+    from dip_tpu.ops.losses import mse
+    from dip_tpu.utils.noise import get_noise
+
+    # synthetic noisy target (no data dependency)
+    rng = np.random.default_rng(0)
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
+    clean = np.stack([np.sin(xx / 23) * 0.5 + 0.5,
+                      np.cos(yy / 17) * 0.5 + 0.5,
+                      (xx + yy) / (2 * size)], axis=-1)
+    noisy = np.clip(clean + rng.normal(scale=25 / 255.0, size=clean.shape), 0, 1)
+    target = jnp.asarray(noisy[None], dtype=jnp.float32)
+
+    model = Skip(
+        num_channels_down=[128] * 5,
+        num_channels_up=[128] * 5,
+        num_channels_skip=[4] * 5,
+        upsample_mode="bilinear",
+        pad="reflection",
+    )
+    cfg = FitConfig(num_iter=iters, lr=0.01, reg_noise_std=1.0 / 30,
+                    exp_weight=0.99, log_every=iters)
+    loss_fn = lambda p, out, aux: mse(out, aux)
+    metrics_fn = default_metrics(target)
+
+    if batch == 1:
+        eng = Engine(model, loss_fn, cfg, metrics_fn)
+        z = get_noise(jax.random.key(1), 32, "noise", (size, size))
+        state = eng.init_state(jax.random.key(0), z)
+        chunk = jax.jit(lambda s: eng.run_chunk(s, target, iters))
+        wchunk = jax.jit(lambda s: eng.run_chunk(s, target, warmup_iters))
+        state, _ = wchunk(state)  # compile + warm
+        jax.block_until_ready(state.params)
+        t0 = time.perf_counter()
+        state, hist = chunk(state)
+        jax.block_until_ready(state.params)
+        dt = time.perf_counter() - t0
+        total_iters = iters
+    else:
+        from dip_tpu.parallel.batch import BatchEngine
+        from dip_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh() if len(jax.devices()) > 1 else None
+        beng = BatchEngine(model, loss_fn, cfg, metrics_fn, mesh=mesh)
+        keys = jax.random.split(jax.random.key(0), batch)
+        zs = jax.vmap(lambda k: get_noise(k, 32, "noise", (size, size)))(keys)
+        targets = jnp.broadcast_to(target, (batch,) + target.shape)
+        state = beng.init_state(keys, zs)
+        auxs = targets
+        # warm-up chunk compiles the program
+        chunk = beng._chunk()
+        state, _ = chunk(state, auxs, warmup_iters)
+        jax.block_until_ready(state.params)
+        t0 = time.perf_counter()
+        state, hist = chunk(state, auxs, iters)
+        jax.block_until_ready(state.params)
+        dt = time.perf_counter() - t0
+        total_iters = iters * batch  # independent image-iterations
+
+    ips = total_iters / dt
+    result = {
+        "metric": f"dip_iters_per_sec_{size}x{size}_b{batch}",
+        "value": round(ips, 2),
+        "unit": "iters/s",
+        "vs_baseline": round(ips / REFERENCE_ITERS_PER_SEC, 2),
+    }
+    if print_json:
+        print(json.dumps(result))
+    return result

@@ -1,0 +1,155 @@
+"""Command-line interface.
+
+The reference's only 'entry points' are notebooks (SURVEY.md §0); this CLI
+ships the same workloads as commands with the notebook recipes as presets:
+
+    python -m dip_tpu fit --task denoise --image f16.png --sigma 25 --out d.png
+    python -m dip_tpu fit --task inpaint --image kate.png --mask text --preset kate
+    python -m dip_tpu fit --task sr --image zebra.png --factor 4
+    python -m dip_tpu fit --task flash_no_flash --image flash.png --mask noflash.png
+    python -m dip_tpu bench --size 512 --iters 100
+    python -m dip_tpu eval-sr --dir Set14/ --factor 4
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def _load(path, d=32):
+    from dip_tpu.utils.image_io import crop_image, load_image, pil_to_np
+
+    return pil_to_np(crop_image(load_image(path), d=d))
+
+
+def cmd_fit(args):
+    import jax
+
+    from dip_tpu.tasks import denoise, flash_no_flash, inpaint, restore, super_resolve
+    from dip_tpu.tasks.base import run_task
+    from dip_tpu.utils.image_io import hwc_to_nhwc, nhwc_to_hwc, save_image
+    from dip_tpu.utils.masks import get_bernoulli_mask, get_text_mask
+
+    key = jax.random.key(args.seed)
+    t0 = time.time()
+
+    if args.task == "denoise":
+        img = _load(args.image)
+        if args.sigma > 0:
+            noisy = denoise.get_noisy_image(img, args.sigma / 255.0)
+            gt = hwc_to_nhwc(img)
+        else:
+            noisy, gt = img, None
+        spec = denoise.task(hwc_to_nhwc(noisy), preset=args.preset or "f16",
+                            gt=gt, num_iter=args.num_iter)
+    elif args.task == "inpaint":
+        img = _load(args.image, d=64)
+        if args.mask == "text":
+            mask = get_text_mask(img.shape)
+        elif args.mask.startswith("bernoulli:"):
+            frac = float(args.mask.split(":")[1])
+            mask = get_bernoulli_mask(img.shape, zero_fraction=frac)
+        else:
+            mask = _load(args.mask, d=64)
+        spec = inpaint.task(hwc_to_nhwc(img), hwc_to_nhwc(mask),
+                            preset=args.preset or "kate",
+                            num_iter=args.num_iter)
+    elif args.task == "restore":
+        img = _load(args.image, d=64)
+        frac = 0.5 if (args.preset or "barbara") == "barbara" else 0.98
+        mask = get_bernoulli_mask(img.shape, zero_fraction=frac)
+        spec = restore.task(hwc_to_nhwc(img), hwc_to_nhwc(mask),
+                            preset=args.preset or "barbara",
+                            num_iter=args.num_iter)
+    elif args.task == "sr":
+        imgs = super_resolve.load_lr_hr(args.image, -1, args.factor, "CROP")
+        spec = super_resolve.task(hwc_to_nhwc(imgs["LR_np"]),
+                                  factor=args.factor,
+                                  hr_gt=hwc_to_nhwc(imgs["HR_np"]),
+                                  num_iter=args.num_iter)
+    elif args.task == "flash_no_flash":
+        flash = _load(args.image)
+        noflash = _load(args.mask)  # --mask doubles as the second input
+        spec = flash_no_flash.task(hwc_to_nhwc(flash), hwc_to_nhwc(noflash),
+                                   num_iter=args.num_iter or 601)
+    else:
+        raise SystemExit(f"unknown task {args.task!r}")
+
+    def cb(it, hist, state):
+        msg = f"iter {it:5d}  loss {hist['loss'][-1]:.6f}"
+        for k in ("psnr_gt", "psnr_hr", "psnr_full"):
+            if k in hist:
+                msg += f"  {k} {hist[k][-1]:.2f} dB"
+        print(msg, flush=True)
+
+    out, state, hist = run_task(spec, key, callback=cb)
+    dt = time.time() - t0
+    iters = spec.cfg.num_iter
+    print(f"done: {iters} iters in {dt:.1f}s ({iters / dt:.1f} it/s)")
+    if args.out:
+        save_image(args.out, np.clip(nhwc_to_hwc(out), 0, 1))
+        print(f"saved {args.out}")
+
+
+def cmd_bench(args):
+    from dip_tpu.bench import run_bench
+
+    run_bench(size=args.size, iters=args.iters, batch=args.batch,
+              print_json=True)
+
+
+def cmd_eval_sr(args):
+    from dip_tpu.eval.sr_eval import eval_sr_dataset
+
+    res = eval_sr_dataset(args.dir, factor=args.factor,
+                          num_iter=args.num_iter)
+    print(f"mean PSNR-Y: {res.mean_psnr_y:.3f} dB")
+    print(res.latex_row())
+
+
+def main(argv=None):
+    from dip_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()  # honor DIP_PLATFORM=cpu on forced-TPU hosts
+    p = argparse.ArgumentParser(prog="dip_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    f = sub.add_parser("fit", help="run a DIP workload")
+    f.add_argument("--task", required=True,
+                   choices=["denoise", "inpaint", "restore", "sr",
+                            "flash_no_flash"])
+    f.add_argument("--image", required=True)
+    f.add_argument("--mask", default="text",
+                   help="inpaint: mask path | 'text' | 'bernoulli:FRAC'; "
+                        "flash_no_flash: the no-flash image path")
+    f.add_argument("--preset", default=None)
+    f.add_argument("--sigma", type=float, default=25.0,
+                   help="denoise: noise std in [0,255]; 0 = image already noisy")
+    f.add_argument("--factor", type=int, default=4)
+    f.add_argument("--num-iter", type=int, default=None)
+    f.add_argument("--seed", type=int, default=0)
+    f.add_argument("--out", default=None)
+    f.set_defaults(fn=cmd_fit)
+
+    b = sub.add_parser("bench", help="iters/sec benchmark")
+    b.add_argument("--size", type=int, default=512)
+    b.add_argument("--iters", type=int, default=100)
+    b.add_argument("--batch", type=int, default=1)
+    b.set_defaults(fn=cmd_bench)
+
+    e = sub.add_parser("eval-sr", help="Set5/Set14 SR evaluation")
+    e.add_argument("--dir", required=True)
+    e.add_argument("--factor", type=int, default=4)
+    e.add_argument("--num-iter", type=int, default=None)
+    e.set_defaults(fn=cmd_eval_sr)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

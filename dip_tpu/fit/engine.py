@@ -1,0 +1,362 @@
+"""The DIP optimization engine: one jitted lax.scan per fit.
+
+TPU-native redesign of the reference's optimize() driver + notebook closure
+protocol (/root/reference/utils/common_utils.py:198-232 and e.g.
+denoising.ipynb cell 10).  The reference runs a Python loop that syncs
+GPU->CPU every iteration for PSNR logging and stashes all params to host for
+backtracking; here the entire loop body — input jitter, optional weight
+jitter, forward, loss, grads, optimizer update, EMA smoothing, on-device
+PSNR, snapshot/backtracking — is a pure function scanned on device.  Host
+contact happens only at `log_every` chunk boundaries.
+
+Semantics preserved from the reference:
+ - input jitter: z_used = z_saved + N(0,1)*reg_noise_std each iteration
+ - weight jitter (param_noise): conv kernels perturbed by N(0,1)*std/50
+   before the forward (the *intended* behavior of inpainting.ipynb cell 17,
+   whose in-notebook version is a no-op)
+ - EMA output smoothing: ema = ema*exp_weight + out*(1-exp_weight),
+   initialized to the first output
+ - PSNR backtracking: if the tracked PSNR drops >`backtrack_threshold` dB
+   below the last good value, restore the parameter snapshot (kept in HBM,
+   not host memory) and skip that update; otherwise refresh the snapshot.
+   (The reference restores and then still applies the stale gradient —
+   an artifact of the closure protocol we deliberately do not copy.)
+ - optimize-over selection: the trainable pytree may contain 'net' params,
+   the 'input' code z, and/or 'down' degradation params
+   (get_params, common_utils.py:29-53).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from dip_tpu.ops.losses import psnr
+
+
+# ---------------------------------------------------------------------------
+# config
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class FitConfig:
+    num_iter: int = 3000
+    lr: float = 0.01
+    optimizer: str = "adam"          # 'adam' | 'lbfgs'
+    reg_noise_std: float = 0.0       # input jitter std
+    param_noise: bool = False        # conv-kernel jitter
+    exp_weight: float | None = None  # EMA factor, e.g. 0.99
+    opt_input: bool = False          # optimize over z as well/instead
+    backtrack: bool = False
+    backtrack_threshold: float = 5.0
+    log_every: int = 100             # scan chunk size between host callbacks
+    lbfgs_warmup: int = 100          # Adam warm-up steps before LBFGS
+    lbfgs_warmup_lr: float = 1e-3
+
+
+class FitState(NamedTuple):
+    params: Any              # trainable pytree: {'net': ..., ['input': z], ['down': ...]}
+    opt_state: Any
+    z: jnp.ndarray           # saved base input (unused source when opt_input)
+    ema_out: jnp.ndarray
+    key: jax.Array
+    snapshot: Any            # params snapshot for backtracking
+    last_track: jnp.ndarray  # tracked PSNR at last good snapshot
+    step: jnp.ndarray
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def unalias(tree):
+    """Force every leaf onto its own buffer. JAX dedupes identical constants
+    (e.g. the Adam mu/nu zero trees) and jitted inits may alias equal
+    outputs; donated scan arguments must be distinct buffers."""
+    return jax.tree_util.tree_map(
+        lambda x: jnp.array(x, copy=True) if hasattr(x, "shape") else x, tree
+    )
+
+def _jitter_params(params: Any, key: jax.Array, scale: float = 1.0 / 50.0) -> Any:
+    """Add N(0,1)*std(leaf)*scale to every conv kernel (ndim==4 leaf)."""
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(key, len(leaves))
+    out = []
+    for leaf, k in zip(leaves, keys):
+        if hasattr(leaf, "ndim") and leaf.ndim == 4:
+            leaf = leaf + jax.random.normal(k, leaf.shape, leaf.dtype) * (
+                jnp.std(leaf) * scale
+            )
+        out.append(leaf)
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def _make_tx(cfg: FitConfig) -> optax.GradientTransformation:
+    if cfg.optimizer == "adam":
+        return optax.adam(cfg.lr)
+    if cfg.optimizer == "lbfgs":
+        return optax.lbfgs(learning_rate=None)
+    raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
+
+
+# ---------------------------------------------------------------------------
+# engine
+# ---------------------------------------------------------------------------
+
+class Engine:
+    """Per-image DIP fit compiled to a single scanned device program.
+
+    Args:
+        model: a flax.linen module mapping z (1,H,W,Cin) -> image (1,H,W,Cout).
+        loss_fn: (trainable_params, out, aux) -> scalar. `aux` is an arbitrary
+            pytree of device constants (targets, masks, LR images, stored
+            features ...). Receives the trainable pytree so degradation
+            operators with learnable params ('down') can participate.
+        cfg: FitConfig.
+        metrics_fn: optional (out, ema_out, aux) -> dict of scalars, computed
+            on-device each iteration and returned stacked. If backtracking is
+            on, it must provide key 'psnr_track' (PSNR vs the fit target —
+            what the reference calls psnr_noisy).
+    """
+
+    def __init__(
+        self,
+        model,
+        loss_fn: Callable[[Any, jnp.ndarray, Any], jnp.ndarray],
+        cfg: FitConfig,
+        metrics_fn: Callable[[jnp.ndarray, jnp.ndarray, Any], dict] | None = None,
+    ):
+        self.model = model
+        self.loss_fn = loss_fn
+        self.cfg = cfg
+        self.metrics_fn = metrics_fn
+        self.tx = _make_tx(cfg)
+        self._chunk_jit = None
+
+    # -- initialization ------------------------------------------------------
+
+    def init_state(self, key: jax.Array, z: jnp.ndarray, aux: Any = None,
+                   extra_params: dict | None = None) -> FitState:
+        """Initialize params/optimizer/EMA. `extra_params` adds trainable
+        leaves beyond the net (e.g. {'down': ...})."""
+        del aux
+        k_init, k_noise, k_run = jax.random.split(key, 3)
+        # jit the whole init: one compiled program instead of per-op dispatch
+        # (matters on remote-tunneled TPU backends and 1-core CPU hosts)
+        variables = jax.jit(self.model.init)({"params": k_init, "noise": k_noise}, z)
+        trainable = {"net": variables.get("params", {})}
+        if self.cfg.opt_input:
+            trainable["input"] = z
+        if extra_params:
+            trainable.update(extra_params)
+        opt_state = self.tx.init(trainable)
+        out_shape = jax.eval_shape(
+            lambda p, x: self.model.apply({"params": p}, x,
+                                          rngs={"noise": k_noise}),
+            trainable["net"], z,
+        )
+        ema = jnp.zeros(out_shape.shape, out_shape.dtype)
+        state = FitState(
+            params=trainable,
+            opt_state=opt_state,
+            z=z,
+            ema_out=ema,
+            key=k_run,
+            snapshot=trainable,
+            last_track=jnp.asarray(0.0, jnp.float32),
+            step=jnp.asarray(0, jnp.int32),
+        )
+        return unalias(state)
+
+    # -- one optimization step (pure; scan body) ------------------------------
+
+    def _forward(self, params: Any, z_used: jnp.ndarray, noise_key: jax.Array,
+                 param_key: jax.Array | None):
+        p_net = params["net"]
+        if self.cfg.param_noise and param_key is not None:
+            p_net = _jitter_params(p_net, param_key)
+        return self.model.apply({"params": p_net}, z_used, rngs={"noise": noise_key})
+
+    def step(self, state: FitState, aux: Any) -> tuple[FitState, dict]:
+        cfg = self.cfg
+        key, k_jit, k_param, k_gen = jax.random.split(state.key, 4)
+
+        z_base = state.params["input"] if cfg.opt_input else state.z
+        if cfg.reg_noise_std > 0:
+            z_used = z_base + cfg.reg_noise_std * jax.random.normal(
+                k_jit, z_base.shape, z_base.dtype
+            )
+        else:
+            z_used = z_base
+
+        def loss_of(params):
+            if cfg.opt_input:
+                # jitter is re-applied around the *current* trainable z
+                zb = params["input"]
+                zu = zb + (z_used - z_base)
+            else:
+                zu = z_used
+            out = self._forward(params, zu, k_gen,
+                                k_param if cfg.param_noise else None)
+            return self.loss_fn(params, out, aux), out
+
+        (loss, out), grads = jax.value_and_grad(loss_of, has_aux=True)(state.params)
+
+        if cfg.optimizer == "lbfgs":
+            updates, opt_state = self.tx.update(
+                grads, state.opt_state, state.params,
+                value=loss, grad=grads,
+                value_fn=lambda p: loss_of(p)[0],
+            )
+        else:
+            updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        # EMA smoothing (initialized to the first output)
+        if cfg.exp_weight is not None:
+            w = cfg.exp_weight
+            ema = jnp.where(state.step == 0, out,
+                            state.ema_out * w + out * (1 - w))
+        else:
+            ema = out
+
+        metrics = {"loss": loss}
+        if self.metrics_fn is not None:
+            metrics.update(self.metrics_fn(out, ema, aux))
+
+        snapshot = state.snapshot
+        last_track = state.last_track
+        if cfg.backtrack:
+            track = metrics["psnr_track"]
+            drop = (track - state.last_track) < -cfg.backtrack_threshold
+            pick = lambda a, b: jax.tree_util.tree_map(
+                lambda x, y: jnp.where(drop, x, y), a, b
+            )
+            # on drop: restore the stash and skip this update; otherwise the
+            # stash becomes the *pre-update* params — exactly the reference's
+            # closure, which stashes before optimizer.step() (denoising
+            # cell 10). (Also keeps params/snapshot distinct expressions, so
+            # XLA can't alias them into one donated output buffer.)
+            new_params = pick(state.snapshot, new_params)
+            snapshot = pick(state.snapshot, state.params)
+            last_track = jnp.where(drop, state.last_track, track)
+            metrics["backtracked"] = drop.astype(jnp.float32)
+
+        new_state = FitState(
+            params=new_params,
+            opt_state=opt_state,
+            z=state.z,
+            ema_out=ema,
+            key=key,
+            snapshot=snapshot,
+            last_track=last_track,
+            step=state.step + 1,
+        )
+        return new_state, metrics
+
+    # -- scanned execution ----------------------------------------------------
+
+    def run_chunk(self, state: FitState, aux: Any, length: int):
+        """`length` steps as one lax.scan (trace-time constant)."""
+        def body(s, _):
+            return self.step(s, aux)
+        return jax.lax.scan(body, state, None, length=length)
+
+    def _get_chunk_jit(self):
+        if self._chunk_jit is None:
+            self._chunk_jit = jax.jit(
+                lambda s, aux, length: self.run_chunk(s, aux, length),
+                static_argnums=(2,),
+                donate_argnums=(0,),
+            )
+        return self._chunk_jit
+
+    def run(self, state: FitState, aux: Any,
+            callback: Callable[[int, dict, FitState], None] | None = None):
+        """Drive the full fit: jitted chunks of `log_every` steps, optional
+        host callback between chunks. Returns (final_state, history dict of
+        stacked per-iteration metrics as numpy arrays)."""
+        cfg = self.cfg
+        if cfg.optimizer == "lbfgs" and cfg.lbfgs_warmup > 0:
+            state = self._warmup(state, aux)
+
+        chunk = self._get_chunk_jit()
+        remaining = cfg.num_iter
+        hist_chunks: list[dict] = []
+        it = 0
+        while remaining > 0:
+            n = min(cfg.log_every, remaining)
+            state, hist = chunk(state, aux, n)
+            remaining -= n
+            it += n
+            if callback is not None:
+                host_hist = jax.tree_util.tree_map(np.asarray, hist)
+                hist_chunks.append(host_hist)
+                callback(it, host_hist, state)
+            else:
+                hist_chunks.append(jax.tree_util.tree_map(np.asarray, hist))
+        history = jax.tree_util.tree_map(
+            lambda *xs: np.concatenate(xs), *hist_chunks
+        )
+        return state, history
+
+    def _warmup(self, state: FitState, aux: Any) -> FitState:
+        """Adam warm-up before LBFGS (common_utils.py:208-214)."""
+        cfg = self.cfg
+        warm = Engine(
+            self.model,
+            self.loss_fn,
+            dataclasses.replace(
+                cfg, optimizer="adam", lr=cfg.lbfgs_warmup_lr,
+                num_iter=cfg.lbfgs_warmup, backtrack=False,
+            ),
+            self.metrics_fn,
+        )
+        wstate = state._replace(opt_state=warm.tx.init(state.params))
+        wstate, _ = jax.jit(
+            lambda s, a: warm.run_chunk(s, a, cfg.lbfgs_warmup)
+        )(wstate, aux)
+        return wstate._replace(opt_state=self.tx.init(wstate.params))
+
+    # -- rendering -------------------------------------------------------------
+
+    def render(self, state: FitState) -> jnp.ndarray:
+        """Final forward pass with the saved (un-jittered) input."""
+        z = state.params["input"] if self.cfg.opt_input else state.z
+        return self._forward(state.params, z, jax.random.key(0), None)
+
+
+# ---------------------------------------------------------------------------
+# functional facade
+# ---------------------------------------------------------------------------
+
+def init_fit(model, loss_fn, cfg: FitConfig, key, z, aux=None, metrics_fn=None,
+             extra_params=None):
+    eng = Engine(model, loss_fn, cfg, metrics_fn)
+    return eng, eng.init_state(key, z, aux, extra_params)
+
+
+def fit(model, loss_fn, cfg: FitConfig, key, z, aux=None, metrics_fn=None,
+        callback=None, extra_params=None):
+    """One-call fit. Returns (final output image, final state, history)."""
+    eng, state = init_fit(model, loss_fn, cfg, key, z, aux, metrics_fn, extra_params)
+    state, history = eng.run(state, aux, callback)
+    out = eng.render(state)
+    return out, state, history
+
+
+def default_metrics(target: jnp.ndarray, gt: jnp.ndarray | None = None):
+    """Standard DIP metrics: PSNR vs fit target (tracked for backtracking),
+    plus PSNR of raw/EMA output vs ground truth when available."""
+    def fn(out, ema, aux):
+        m = {"psnr_track": psnr(out, target)}
+        if gt is not None:
+            m["psnr_gt"] = psnr(out, gt)
+            m["psnr_gt_sm"] = psnr(ema, gt)
+        return m
+    return fn

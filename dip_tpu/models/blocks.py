@@ -1,0 +1,260 @@
+"""Shared building blocks for the generator zoo (flax.linen, NHWC).
+
+TPU-first re-design of /root/reference/models/common.py: the same
+computational vocabulary (pad->conv->optional antialiased downsample, BN,
+LeakyReLU/Swish/ELU, center-crop-aligned concat, fresh-noise injection) as
+pure functional modules.  Convolutions use torch-style kaiming-uniform
+fan-in init so optimization dynamics match the reference's PyTorch 0.4
+defaults (DIP is init-sensitive).
+
+BatchNorm here is *always-train-mode*: DIP fits a single image, so batch
+statistics act as instance statistics and the reference never meaningfully
+calls eval() (models/resnet.py:26-30 even crashes if you try).  Dropping
+running averages removes all mutable state, which keeps the whole fit loop a
+pure function of (params, rng) — exactly what lax.scan wants.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import flax.linen as nn
+
+from dip_tpu.ops.pad import pad2d
+from dip_tpu.ops.resample import avg_pool, downsample, max_pool, upsample
+
+
+# ---------------------------------------------------------------------------
+# init (torch Conv2d defaults: kaiming_uniform(a=sqrt(5)) == U(+-1/sqrt(fan_in)))
+# ---------------------------------------------------------------------------
+
+def torch_conv_kernel_init(key, shape, dtype=jnp.float32):
+    """HWIO kernel ~ U(-1/sqrt(fan_in), 1/sqrt(fan_in))."""
+    kh, kw, in_f, _ = shape
+    bound = 1.0 / np.sqrt(kh * kw * in_f)
+    return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+
+def torch_conv_bias_init(fan_in: int):
+    bound = 1.0 / np.sqrt(fan_in)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+    return init
+
+
+# ---------------------------------------------------------------------------
+# activations
+# ---------------------------------------------------------------------------
+
+def act(x: jnp.ndarray, act_fun: str | Callable = "LeakyReLU") -> jnp.ndarray:
+    """Activation dispatcher (common.py:76-92)."""
+    if callable(act_fun):
+        return act_fun(x)
+    if act_fun == "LeakyReLU":
+        return nn.leaky_relu(x, negative_slope=0.2)
+    if act_fun == "Swish":
+        return x * jax.nn.sigmoid(x)
+    if act_fun == "ELU":
+        return nn.elu(x)
+    if act_fun == "ReLU":
+        return nn.relu(x)
+    if act_fun == "none":
+        return x
+    raise ValueError(f"unknown activation {act_fun!r}")
+
+
+# ---------------------------------------------------------------------------
+# normalization
+# ---------------------------------------------------------------------------
+
+class TrainBatchNorm(nn.Module):
+    """Affine batch norm that always normalizes by current batch statistics.
+
+    Equivalent to torch BatchNorm2d in training mode (the only mode the
+    reference uses). Stateless: no running averages to thread through scan.
+    """
+
+    eps: float = 1e-5
+    use_scale: bool = True
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        mean = jnp.mean(x, axis=(0, 1, 2))
+        var = jnp.var(x, axis=(0, 1, 2))
+        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        if self.use_scale:
+            y = y * self.param("scale", nn.initializers.ones, (c,))
+        if self.use_bias:
+            y = y + self.param("bias", nn.initializers.zeros, (c,))
+        return y
+
+
+class InstanceNorm(nn.Module):
+    """Per-image, per-channel normalization over (H, W).
+
+    Matches torch InstanceNorm2d defaults (affine=False) used as UNet's
+    default norm layer (models/unet.py:39).
+    """
+
+    eps: float = 1e-5
+    affine: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+        var = jnp.var(x, axis=(1, 2), keepdims=True)
+        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        if self.affine:
+            c = x.shape[-1]
+            y = y * self.param("scale", nn.initializers.ones, (c,))
+            y = y + self.param("bias", nn.initializers.zeros, (c,))
+        return y
+
+
+def norm(x: jnp.ndarray, kind: str | None = "batch") -> jnp.ndarray:
+    if kind in (None, "none"):
+        return x
+    if kind == "batch":
+        return TrainBatchNorm()(x)
+    if kind == "instance":
+        return InstanceNorm()(x)
+    raise ValueError(f"unknown norm {kind!r}")
+
+
+# ---------------------------------------------------------------------------
+# conv block
+# ---------------------------------------------------------------------------
+
+class Conv(nn.Module):
+    """Padded conv with optional decoupled antialiased downsampling.
+
+    The reference's conv() (common.py:99-124): when stride != 1 and
+    downsample_mode != 'stride', the conv runs at stride 1 and is followed by
+    avg/max pooling or a fixed Lanczos downsampler.
+    """
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    bias: bool = True
+    pad: str = "zero"
+    downsample_mode: str = "stride"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        ks = self.kernel_size
+        stride = self.stride
+        post_down = None
+        if stride != 1 and self.downsample_mode != "stride":
+            post_down = self.downsample_mode
+            stride = 1
+
+        to_pad = (ks - 1) // 2
+        if self.pad in ("reflection", "replication") and to_pad > 0:
+            x = pad2d(x, to_pad, self.pad)
+            padding = (0, 0)
+        else:
+            padding = (to_pad, to_pad)
+
+        fan_in = ks * ks * x.shape[-1]
+        y = nn.Conv(
+            features=self.features,
+            kernel_size=(ks, ks),
+            strides=(stride, stride),
+            padding=(padding, padding),
+            use_bias=self.bias,
+            kernel_init=torch_conv_kernel_init,
+            bias_init=torch_conv_bias_init(fan_in),
+        )(x)
+
+        if post_down == "avg":
+            y = avg_pool(y, self.stride)
+        elif post_down == "max":
+            y = max_pool(y, self.stride)
+        elif post_down in ("lanczos2", "lanczos3"):
+            y = downsample(y, self.stride, kernel_type=post_down, phase=0.5,
+                           preserve_size=True)
+        elif post_down is not None:
+            raise ValueError(f"unknown downsample_mode {post_down!r}")
+        return y
+
+
+class ConvTranspose(nn.Module):
+    """Transposed conv (DCGAN generator / UNet 'deconv' up path)."""
+
+    features: int
+    kernel_size: int
+    stride: int
+    padding: int = 0
+    bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        ks = self.kernel_size
+        fan_in = ks * ks * x.shape[-1]
+        # torch ConvTranspose2d(padding=p) trims p from each spatial edge.
+        p = self.padding
+        pad_cfg = ((ks - 1 - p, ks - 1 - p), (ks - 1 - p, ks - 1 - p))
+        return nn.ConvTranspose(
+            features=self.features,
+            kernel_size=(ks, ks),
+            strides=(self.stride, self.stride),
+            padding=pad_cfg,
+            use_bias=self.bias,
+            kernel_init=torch_conv_kernel_init,
+            bias_init=torch_conv_bias_init(fan_in),
+        )(x)
+
+
+# ---------------------------------------------------------------------------
+# structural ops
+# ---------------------------------------------------------------------------
+
+def concat_cropped(tensors: Sequence[jnp.ndarray], axis: int = -1) -> jnp.ndarray:
+    """Channel-concat after center-cropping all inputs to the smallest H, W
+    (common.py:19-39). Shapes are static under jit, so the crop is free when
+    sizes already agree."""
+    hs = [t.shape[1] for t in tensors]
+    ws = [t.shape[2] for t in tensors]
+    th, tw = min(hs), min(ws)
+    out = []
+    for t in tensors:
+        dh = (t.shape[1] - th) // 2
+        dw = (t.shape[2] - tw) // 2
+        out.append(t[:, dh : dh + th, dw : dw + tw, :])
+    return jnp.concatenate(out, axis=axis)
+
+
+class GenNoise(nn.Module):
+    """Emit fresh N(0,1) noise shaped like the input but with `features`
+    channels (common.py:45-60). Requires an rng stream named 'noise'."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        n, h, w, _ = x.shape
+        key = self.make_rng("noise")
+        return jax.random.normal(key, (n, h, w, self.features), dtype=x.dtype)
+
+
+__all__ = [
+    "act",
+    "norm",
+    "TrainBatchNorm",
+    "InstanceNorm",
+    "Conv",
+    "ConvTranspose",
+    "concat_cropped",
+    "GenNoise",
+    "upsample",
+    "torch_conv_kernel_init",
+    "torch_conv_bias_init",
+]

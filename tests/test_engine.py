@@ -1,0 +1,145 @@
+"""Fit-engine tests: convergence smoke, jitter, EMA, backtracking, LBFGS."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dip_tpu.fit.engine import Engine, FitConfig, default_metrics, fit
+from dip_tpu.models import Skip, Identity
+from dip_tpu.ops.losses import mse, masked_mse, psnr
+from dip_tpu.utils.noise import get_noise
+
+
+def _tiny_skip():
+    return Skip(
+        num_channels_down=[8, 16],
+        num_channels_up=[8, 16],
+        num_channels_skip=[4, 4],
+        pad="reflection",
+        upsample_mode="nearest",
+    )
+
+
+def _toy_image(h=32, w=32):
+    """Smooth synthetic target — easy for a conv net to fit."""
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    img = np.stack(
+        [np.sin(xx / 7) * 0.5 + 0.5, np.cos(yy / 5) * 0.5 + 0.5, (xx + yy) / (h + w)],
+        axis=-1,
+    )
+    return jnp.asarray(img[None])
+
+
+def test_fit_denoising_smoke():
+    """Loss must drop and PSNR climb within a few hundred iters (the
+    TPU-framework analog of the reference's README convergence check)."""
+    target = _toy_image()
+    cfg = FitConfig(num_iter=200, lr=0.01, reg_noise_std=1.0 / 30,
+                    exp_weight=0.99, log_every=50)
+    z = get_noise(jax.random.key(1), 8, "noise", (32, 32))
+    out, state, hist = fit(
+        _tiny_skip(),
+        lambda p, out, aux: mse(out, aux),
+        cfg,
+        jax.random.key(0),
+        z,
+        aux=target,
+        metrics_fn=default_metrics(target),
+    )
+    assert hist["loss"].shape == (200,)
+    assert hist["loss"][-10:].mean() < hist["loss"][:10].mean() * 0.5
+    assert float(psnr(out, target)) > 15.0
+    assert int(state.step) == 200
+
+
+def test_fit_masked_inpainting_smoke():
+    """Masked MSE fit must also improve PSNR on the *hidden* region."""
+    target = _toy_image()
+    mask = np.ones((1, 32, 32, 1), np.float32)
+    mask[:, 12:20, 12:20] = 0.0
+    mask = jnp.asarray(mask)
+    cfg = FitConfig(num_iter=300, lr=0.01, log_every=100)
+    z = get_noise(jax.random.key(1), 8, "noise", (32, 32))
+
+    out, state, hist = fit(
+        _tiny_skip(),
+        lambda p, out, aux: masked_mse(out, aux["img"], aux["mask"]),
+        cfg,
+        jax.random.key(0),
+        z,
+        aux={"img": target, "mask": mask},
+    )
+    hole_psnr = float(psnr(out * (1 - mask), target * (1 - mask)))
+    assert hole_psnr > 20.0
+
+
+def test_ema_initialized_to_first_output():
+    target = _toy_image()
+    cfg = FitConfig(num_iter=1, lr=0.01, exp_weight=0.99, log_every=1)
+    z = get_noise(jax.random.key(1), 8, "noise", (32, 32))
+    eng = Engine(_tiny_skip(), lambda p, o, a: mse(o, a), cfg)
+    state = eng.init_state(jax.random.key(0), z)
+    state2, _ = eng.step(state, target)
+    # after 1 step the EMA equals that step's output exactly
+    assert not np.allclose(np.asarray(state2.ema_out), 0)
+
+
+def test_backtracking_restores_snapshot():
+    target = _toy_image()
+    cfg = FitConfig(num_iter=50, lr=0.01, backtrack=True, log_every=25)
+    z = get_noise(jax.random.key(1), 8, "noise", (32, 32))
+    eng = Engine(
+        _tiny_skip(),
+        lambda p, o, a: mse(o, a),
+        cfg,
+        metrics_fn=lambda o, e, a: {"psnr_track": psnr(o, a)},
+    )
+    state = eng.init_state(jax.random.key(0), z, target)
+    state, hist = eng.run(state, target)
+    assert "backtracked" in hist
+    # a healthy run should essentially never backtrack
+    assert hist["backtracked"].sum() <= 2
+
+
+def test_optimize_over_input_identity():
+    """sr_prior_effect mode: identity net, optimize raw pixels directly."""
+    target = _toy_image()
+    cfg = FitConfig(num_iter=300, lr=0.05, opt_input=True, log_every=100)
+    z = get_noise(jax.random.key(1), 3, "noise", (32, 32), var=0.5)
+    out, state, hist = fit(
+        Identity(), lambda p, o, a: mse(o, a), cfg, jax.random.key(0), z, aux=target
+    )
+    assert float(psnr(out, target)) > 25.0
+
+
+def test_param_noise_runs():
+    target = _toy_image()
+    cfg = FitConfig(num_iter=20, lr=0.01, param_noise=True, log_every=10)
+    z = get_noise(jax.random.key(1), 8, "noise", (32, 32))
+    out, _, hist = fit(
+        _tiny_skip(), lambda p, o, a: mse(o, a), cfg, jax.random.key(0), z, aux=target
+    )
+    assert np.isfinite(hist["loss"]).all()
+
+
+def test_lbfgs_path():
+    target = _toy_image(16, 16)
+    cfg = FitConfig(num_iter=30, lr=1.0, optimizer="lbfgs", lbfgs_warmup=20,
+                    log_every=30)
+    z = get_noise(jax.random.key(1), 4, "noise", (16, 16))
+    model = Skip(num_channels_down=[8], num_channels_up=[8],
+                 num_channels_skip=[2])
+    out, state, hist = fit(
+        model, lambda p, o, a: mse(o, a), cfg, jax.random.key(0), z, aux=target
+    )
+    assert np.isfinite(hist["loss"]).all()
+    assert hist["loss"][-1] < hist["loss"][0]
+
+
+def test_meshgrid_input():
+    z = get_noise(jax.random.key(0), 2, "meshgrid", (16, 24))
+    assert z.shape == (1, 16, 24, 2)
+    np.testing.assert_allclose(float(z[0, 0, -1, 0]), 1.0)
+    np.testing.assert_allclose(float(z[0, -1, 0, 1]), 1.0)
