@@ -317,11 +317,13 @@ class Engine:
             ),
             self.metrics_fn,
         )
-        wstate = state._replace(opt_state=warm.tx.init(state.params))
+        # unalias: optax.lbfgs state holds references to the param buffers
+        # themselves, which breaks donation in the scanned chunk
+        wstate = unalias(state._replace(opt_state=warm.tx.init(state.params)))
         wstate, _ = jax.jit(
             lambda s, a: warm.run_chunk(s, a, cfg.lbfgs_warmup)
         )(wstate, aux)
-        return wstate._replace(opt_state=self.tx.init(wstate.params))
+        return unalias(wstate._replace(opt_state=self.tx.init(wstate.params)))
 
     # -- rendering -------------------------------------------------------------
 

@@ -1,0 +1,110 @@
+"""Pallas TPU kernel: fused separable antialiased downsampling.
+
+The XLA path (ops/resample.py) lowers to two depthwise convolutions with an
+HBM round-trip for the H-pass intermediate.  This kernel fuses both passes:
+each program DMAs the K input rows it needs from VMEM, reduces along H with
+the 1-D profile, then computes the strided W-reduction — one read of x, one
+write of y, no intermediate.
+
+Layout: the kernel operates channel-planar (NC, H, W) so the image width
+rides the 128-wide lane dimension (NHWC would waste 125/128 lanes at C=3).
+Entry/exit transposes are fused by XLA into neighbors.
+
+Why convolutions in the generator are NOT Pallas: they are dense MXU matmuls
+that XLA already schedules optimally; the downsampler is the one hot op
+whose reference form (a 99%-zeros dense conv, models/downsampler.py:44-50)
+deserves a custom kernel.
+
+Numerics match ops/resample.py exactly (same 1-D profile, fp32 accumulate);
+`downsample_fused` golden-tests against it in interpret mode on CPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dip_tpu.ops.pad import pad2d
+from dip_tpu.ops.resample import downsample as downsample_xla
+from dip_tpu.ops.resample import resample_kernel_1d
+
+try:  # pallas is part of jax, but keep the import soft for safety
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    HAVE_PALLAS = True
+except ImportError:  # pragma: no cover
+    HAVE_PALLAS = False
+
+
+def _kernel_body(ktaps: int, factor: int, w_out: int, rows_per_prog: int,
+                 k_ref, x_ref, o_ref):
+    """Compute `rows_per_prog` output rows for one (plane, row-block)."""
+    c = pl.program_id(0)
+    rb = pl.program_id(1)
+    f = factor
+    for r in range(rows_per_prog):
+        oh = rb * rows_per_prog + r
+        # K input rows for this output row: (K, W_in)
+        rows = x_ref[c, pl.ds(oh * f, ktaps), :]
+        # H-pass: profile-weighted sum over the K rows -> (W_in,)
+        tmp = jnp.zeros((rows.shape[-1],), jnp.float32)
+        for i in range(ktaps):
+            tmp = tmp + k_ref[i] * rows[i, :].astype(jnp.float32)
+        # W-pass: strided taps; slice j : j + W_out*f : f is static per tap
+        acc = jnp.zeros((w_out,), jnp.float32)
+        for j in range(ktaps):
+            acc = acc + k_ref[j] * jax.lax.slice(
+                tmp, (j,), (j + (w_out - 1) * f + 1,), (f,)
+            )
+        o_ref[c, oh, :] = acc.astype(o_ref.dtype)
+
+
+def downsample_fused(
+    x: jnp.ndarray,
+    factor: int,
+    kernel_type: str = "lanczos2",
+    phase: float = 0.5,
+    preserve_size: bool = True,
+    rows_per_prog: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused Pallas downsample of NHWC `x`. Semantics == ops.resample.downsample."""
+    if not HAVE_PALLAS:
+        return downsample_xla(x, factor, kernel_type, phase, preserve_size)
+
+    k1 = np.asarray(resample_kernel_1d(factor, kernel_type, phase),
+                    dtype=np.float32)
+    ktaps = k1.shape[0]
+    if preserve_size:
+        p = (ktaps - 1) // 2 if ktaps % 2 == 1 else (ktaps - factor) // 2
+        x = pad2d(x, p, "replication")
+
+    n, h_in, w_in, c = x.shape
+    h_out = (h_in - ktaps) // factor + 1
+    w_out = (w_in - ktaps) // factor + 1
+
+    # channel-planar: (N*C, H_in, W_in) so W rides the lane dimension
+    xp = x.transpose(0, 3, 1, 2).reshape(n * c, h_in, w_in)
+
+    rpp = max(1, min(rows_per_prog, h_out))
+    while h_out % rpp:
+        rpp -= 1
+
+    body = functools.partial(_kernel_body, ktaps, factor, w_out, rpp)
+    out = pl.pallas_call(
+        body,
+        grid=(n * c, h_out // rpp),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # 1-D profile taps
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # full input planes
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n * c, h_out, w_out), x.dtype),
+        interpret=interpret,
+    )(jnp.asarray(k1), xp)
+
+    return out.reshape(n, c, h_out, w_out).transpose(0, 2, 3, 1)

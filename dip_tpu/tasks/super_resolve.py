@@ -86,8 +86,14 @@ def task(
     lr: float = 0.01,
     reg_noise_std: float | None = None,
     learnable_downsampler: bool = False,
+    net: str = "skip",
 ) -> TaskSpec:
-    """Build the SR TaskSpec. HR size = LR size * factor."""
+    """Build the SR TaskSpec. HR size = LR size * factor.
+
+    net='identity' is sr_prior_effect.ipynb's degenerate mode: no generator,
+    optimize HR pixels directly (OPT_OVER='input') — isolating how much of
+    SR quality is the *architecture* prior vs. the TV/jitter machinery.
+    """
     img_lr = jnp.asarray(img_lr_nhwc)
     n_out = img_lr.shape[-1]
     hr_h, hr_w = img_lr.shape[1] * factor, img_lr.shape[2] * factor
@@ -102,14 +108,25 @@ def task(
         iters = 2000 if num_iter is None else num_iter
         jitter = 0.03 if reg_noise_std is None else reg_noise_std
 
-    model = Skip(
-        num_output_channels=n_out,
-        num_channels_down=[128] * 5,
-        num_channels_up=[128] * 5,
-        num_channels_skip=[4] * 5,
-        upsample_mode="bilinear",
-        pad="reflection",
-    )
+    opt_input = False
+    input_depth = 32
+    if net == "skip":
+        model = Skip(
+            num_output_channels=n_out,
+            num_channels_down=[128] * 5,
+            num_channels_up=[128] * 5,
+            num_channels_skip=[4] * 5,
+            upsample_mode="bilinear",
+            pad="reflection",
+        )
+    elif net == "identity":
+        from dip_tpu.models import Identity
+
+        model = Identity()
+        opt_input = True
+        input_depth = n_out
+    else:
+        raise ValueError(f"unknown net {net!r}")
 
     extra_params = None
     if learnable_downsampler:
@@ -148,14 +165,14 @@ def task(
         return m
 
     return TaskSpec(
-        name=f"sr/x{factor}",
+        name=f"sr/x{factor}" + ("" if net == "skip" else f"/{net}"),
         model=model,
         cfg=FitConfig(num_iter=iters, lr=lr, reg_noise_std=jitter,
-                      backtrack=True),
+                      backtrack=not opt_input, opt_input=opt_input),
         loss_fn=loss_fn,
         aux={"lr": img_lr},
         metrics_fn=metrics_fn,
-        input_depth=32,
+        input_depth=input_depth,
         spatial_size=(hr_h, hr_w),
         extra_params=extra_params,
     )

@@ -1,0 +1,42 @@
+"""Checkpoint/resume: a resumed fit continues from the saved step."""
+
+import os
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dip_tpu.fit.checkpoint import restore_fit_state, save_fit_state
+from dip_tpu.fit.engine import Engine, FitConfig
+from dip_tpu.models import Skip
+from dip_tpu.ops.losses import mse
+from dip_tpu.utils.noise import get_noise
+
+
+def test_save_restore_roundtrip():
+    target = jnp.full((1, 16, 16, 3), 0.5)
+    model = Skip(num_channels_down=[8], num_channels_up=[8],
+                 num_channels_skip=[2])
+    cfg = FitConfig(num_iter=20, lr=0.01, exp_weight=0.99, log_every=10)
+    eng = Engine(model, lambda p, o, a: mse(o, a), cfg)
+    z = get_noise(jax.random.key(1), 4, "noise", (16, 16))
+    state = eng.init_state(jax.random.key(0), z)
+    state, _ = eng.run(state, target)
+    assert int(state.step) == 20
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "ckpt")
+        save_fit_state(path, state)
+        template = eng.init_state(jax.random.key(0), z)
+        restored = restore_fit_state(path, template)
+
+    assert int(restored.step) == 20
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # resumed state must keep optimizing without error (incl. donation)
+    restored, hist = eng.run(restored, target)
+    assert int(restored.step) == 40
+    assert np.isfinite(hist["loss"]).all()
