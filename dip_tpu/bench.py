@@ -59,10 +59,13 @@ def run_bench(size: int = 512, iters: int = 100, batch: int = 1,
         wchunk = jax.jit(lambda s: eng.run_chunk(s, target, warmup_iters))
         state, _ = wchunk(state)  # compile + warm
         jax.block_until_ready(state.params)
-        t0 = time.perf_counter()
-        state, hist = chunk(state)
-        jax.block_until_ready(state.params)
-        dt = time.perf_counter() - t0
+        # best-of-3: the tunneled backend has sporadic multi-second stalls
+        dt = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            state, hist = chunk(state)
+            jax.block_until_ready(state.params)
+            dt = min(dt, time.perf_counter() - t0)
         total_iters = iters
     else:
         from dip_tpu.parallel.batch import BatchEngine

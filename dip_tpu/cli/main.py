@@ -85,8 +85,18 @@ def cmd_fit(args):
             if k in hist:
                 msg += f"  {k} {hist[k][-1]:.2f} dB"
         print(msg, flush=True)
+        if args.save_ckpt:
+            from dip_tpu.fit.checkpoint import save_fit_state
 
-    out, state, hist = run_task(spec, key, callback=cb)
+            save_fit_state(args.save_ckpt, state)
+
+    if args.profile:
+        from dip_tpu.utils.profiling import trace
+
+        with trace(args.profile):
+            out, state, hist = run_task(spec, key, callback=cb)
+    else:
+        out, state, hist = run_task(spec, key, callback=cb)
     dt = time.time() - t0
     iters = spec.cfg.num_iter
     print(f"done: {iters} iters in {dt:.1f}s ({iters / dt:.1f} it/s)")
@@ -133,6 +143,10 @@ def main(argv=None):
     f.add_argument("--num-iter", type=int, default=None)
     f.add_argument("--seed", type=int, default=0)
     f.add_argument("--out", default=None)
+    f.add_argument("--save-ckpt", default=None,
+                   help="checkpoint the fit state at every log boundary")
+    f.add_argument("--profile", default=None,
+                   help="write a jax.profiler trace to this directory")
     f.set_defaults(fn=cmd_fit)
 
     b = sub.add_parser("bench", help="iters/sec benchmark")

@@ -52,6 +52,9 @@ class FitConfig:
     param_noise: bool = False        # conv-kernel jitter
     exp_weight: float | None = None  # EMA factor, e.g. 0.99
     opt_input: bool = False          # optimize over z as well/instead
+    opt_over: str = "net"            # reference-style selector: 'net,input,down'
+                                     # ('input' here == opt_input=True; 'down'
+                                     # params enter via extra_params)
     backtrack: bool = False
     backtrack_threshold: float = 5.0
     log_every: int = 100             # scan chunk size between host callbacks
@@ -133,6 +136,8 @@ class Engine:
     ):
         self.model = model
         self.loss_fn = loss_fn
+        if "input" in cfg.opt_over.split(",") and not cfg.opt_input:
+            cfg = dataclasses.replace(cfg, opt_input=True)
         self.cfg = cfg
         self.metrics_fn = metrics_fn
         self.tx = _make_tx(cfg)

@@ -33,9 +33,11 @@ def task(
     tv_weight: float = 0.0,
     mask_nhwc=None,                      # penalize output inside this mask
     imsize_net: int = 256,
+    imsize: int | None = None,
     input_depth: int = 32,
 ) -> TaskSpec:
-    extract, _, imsize = build_extractor(backbone, (layer,), weights_path)
+    extract, _, imsize = build_extractor(backbone, (layer,), weights_path,
+                                         imsize=imsize)
     is_fc = layer.startswith("fc") or layer == "softmax"
     if method is None:
         method = "am_match" if layer == "fc8" else "maximize"

@@ -40,15 +40,19 @@ def inversion_net(num_output_channels: int = 3, pad: str = "zero") -> Skip:
 def build_extractor(backbone: str = "alexnet_caffe",
                     layers: tuple[str, ...] = ("fc6",),
                     weights_path: str | None = None,
-                    imsize: int | None = None):
+                    imsize: int | None = None,
+                    preprocess=None):
     """Return (extract_fn, frozen_vars, imsize). extract_fn(x_rgb01) -> dict
-    of tapped activations after caffe preprocessing."""
+    of tapped activations after preprocessing (caffe BGR by default)."""
     model = get_backbone(backbone)
     if imsize is None:
         imsize = 227 if backbone.startswith("alexnet") else 224
+    if preprocess is None:
+        preprocess = vgg_preprocess_caffe
     dummy = jnp.zeros((1, imsize, imsize, 3))
-    variables = model.init(jax.random.key(0), vgg_preprocess_caffe(dummy),
-                           taps=layers)
+    variables = jax.jit(
+        lambda k, x: model.init(k, x, taps=layers)
+    )(jax.random.key(0), preprocess(dummy))
     if weights_path:
         converted = load_torch_weights(weights_path)
         if converted:
@@ -56,7 +60,7 @@ def build_extractor(backbone: str = "alexnet_caffe",
     variables = jax.lax.stop_gradient(variables)
 
     def extract(x_rgb01: jnp.ndarray) -> dict:
-        return model.apply(variables, vgg_preprocess_caffe(x_rgb01), taps=layers)
+        return model.apply(variables, preprocess(x_rgb01), taps=layers)
 
     return extract, variables, imsize
 
@@ -73,9 +77,10 @@ class FeatureInversion:
                  what: str = "features",
                  weights_path: str | None = None,
                  imsize_net: int = 256,
+                 imsize: int | None = None,
                  num_iter: int = 3100, lr: float = 1e-3):
         self.extract, self.cnn_vars, self.imsize = build_extractor(
-            backbone, layers, weights_path)
+            backbone, layers, weights_path, imsize=imsize)
         self.matcher = Matcher(how=what, loss="mse", method="match")
         self.imsize_net = imsize_net
         self.num_iter = num_iter

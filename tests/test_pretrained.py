@@ -108,12 +108,13 @@ def test_feature_inversion_task_smoke():
     from dip_tpu.tasks.feature_inversion import FeatureInversion
     from dip_tpu.tasks.base import run_task
 
+    # small sizes: the smoke validates wiring, not AlexNet-scale compiles
     fi = FeatureInversion(backbone="alexnet_caffe", layers=("conv1",),
-                          num_iter=5, imsize_net=256)
-    content = jnp.ones((1, 227, 227, 3)) * 0.5
+                          num_iter=5, imsize_net=64, imsize=48)
+    content = jnp.ones((1, 48, 48, 3)) * 0.5
     spec = fi.spec(content)
     out, state, hist = run_task(spec, jax.random.key(0))
-    assert out.shape == (1, 227, 227, 3)
+    assert out.shape == (1, 48, 48, 3)
     assert np.isfinite(hist["loss"]).all()
 
 
@@ -122,7 +123,7 @@ def test_activation_maximization_task_smoke():
     from dip_tpu.tasks.base import run_task
 
     spec = am.task(backbone="alexnet_caffe", layer="conv1", map_idx=0,
-                   window_size=3, num_iter=5)
+                   window_size=3, num_iter=5, imsize=48, imsize_net=64)
     out, state, hist = run_task(spec, jax.random.key(0))
-    assert out.shape == (1, 227, 227, 3)
+    assert out.shape == (1, 48, 48, 3)
     assert np.isfinite(hist["loss"]).all()

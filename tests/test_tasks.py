@@ -1,9 +1,17 @@
-"""Task layer: spec construction + short-fit smoke tests per workload."""
+"""Task layer: spec construction + short-fit smoke tests per workload.
+
+Smoke runs swap the preset generator for a tiny skip net (dataclasses.replace
+on the spec) — preset *configs* are asserted as built, but compiling the
+128-wide production nets for every smoke test is wasteful on this host.
+"""
+
+import dataclasses
 
 import jax
 import numpy as np
 import pytest
 
+from dip_tpu.models import Skip
 from dip_tpu.ops.losses import psnr
 from dip_tpu.tasks import (
     denoise,
@@ -14,6 +22,13 @@ from dip_tpu.tasks import (
 )
 from dip_tpu.tasks.base import run_task
 from dip_tpu.utils.masks import get_bernoulli_mask
+
+
+def _tiny(spec):
+    """Replace the preset generator with a small one for fast smoke runs."""
+    model = Skip(num_channels_down=[8, 16], num_channels_up=[8, 16],
+                 num_channels_skip=[4, 4], pad="reflection")
+    return dataclasses.replace(spec, model=model)
 
 
 def _toy(h=64, w=64, c=3):
@@ -29,7 +44,7 @@ def test_denoise_spec_and_smoke():
     spec = denoise.task(noisy, preset="f16", gt=gt, num_iter=100)
     assert spec.cfg.reg_noise_std == pytest.approx(1 / 30)
     assert spec.cfg.backtrack
-    out, state, hist = run_task(spec, jax.random.key(0))
+    out, state, hist = run_task(_tiny(spec), jax.random.key(0))
     assert out.shape == gt.shape
     assert {"loss", "psnr_track", "psnr_gt", "psnr_gt_sm"} <= set(hist)
     assert hist["loss"][-1] < hist["loss"][0]
@@ -51,7 +66,7 @@ def test_inpaint_presets():
         assert spec.input_depth == depth
         assert spec.input_method == method
     spec = inpaint.task(img, mask, preset="kate", num_iter=150)
-    out, _, hist = run_task(spec, jax.random.key(0))
+    out, _, hist = run_task(_tiny(spec), jax.random.key(0))
     assert hist["loss"][-1] < hist["loss"][0]
 
 
@@ -68,7 +83,7 @@ def test_sr_spec_and_smoke():
     lr = hr[:, ::4, ::4, :]  # cheap stand-in LR for the smoke test
     spec = super_resolve.task(lr, factor=4, hr_gt=hr, num_iter=120)
     assert spec.spatial_size == (64, 64)
-    out, _, hist = run_task(spec, jax.random.key(0))
+    out, _, hist = run_task(_tiny(spec), jax.random.key(0))
     assert out.shape == hr.shape
     assert "psnr_hr" in hist and "psnr_lr" in hist
     assert hist["psnr_lr"][-1] > hist["psnr_lr"][0]
@@ -88,7 +103,7 @@ def test_restore_spec():
     assert spec.cfg.lr == pytest.approx(1e-3)
     assert spec.cfg.num_iter == 11000
     spec = restore.task(img, mask, preset="kate", num_iter=80)
-    out, _, hist = run_task(spec, jax.random.key(0))
+    out, _, hist = run_task(_tiny(spec), jax.random.key(0))
     assert hist["loss"][-1] < hist["loss"][0]
 
 
@@ -97,6 +112,6 @@ def test_flash_no_flash_smoke():
     noflash = np.clip(_toy() * 0.6 + 0.2, 0, 1)
     spec = flash_no_flash.task(flash, noflash, num_iter=60)
     assert spec.net_input is not None
-    out, _, hist = run_task(spec, jax.random.key(0))
+    out, _, hist = run_task(_tiny(spec), jax.random.key(0))
     assert out.shape == noflash.shape
     assert hist["loss"][-1] < hist["loss"][0]
