@@ -300,13 +300,16 @@ class Engine:
             remaining -= n
             it += n
             if callback is not None:
+                # host sync per chunk only when the caller wants live logs
                 host_hist = jax.tree_util.tree_map(np.asarray, hist)
                 hist_chunks.append(host_hist)
                 callback(it, host_hist, state)
             else:
-                hist_chunks.append(jax.tree_util.tree_map(np.asarray, hist))
+                # keep history on device: chunks pipeline without host syncs
+                hist_chunks.append(hist)
         history = jax.tree_util.tree_map(
-            lambda *xs: np.concatenate(xs), *hist_chunks
+            lambda *xs: np.concatenate([np.asarray(x) for x in xs]),
+            *hist_chunks,
         )
         return state, history
 

@@ -13,6 +13,11 @@ of one.
 
 All images in a batch must share a static shape (group by resolution; the
 bench/eval harnesses do), and the batch size must divide by the mesh size.
+
+Size the batch to ONE image per device: vmap's grouped-conv lowering is slow
+on the MXU when multiple per-image nets fold into one chip's convolutions
+(measured ~14x aggregate slowdown at b=4 on one v5e core), so images beyond
+the mesh size are better run as sequential batches.
 """
 
 from __future__ import annotations
@@ -93,11 +98,16 @@ class BatchEngine:
             state, hist = chunk(state, auxs, n)
             remaining -= n
             it += n
-            hist_chunks.append(jax.tree_util.tree_map(np.asarray, hist))
             if callback is not None:
+                hist_chunks.append(jax.tree_util.tree_map(np.asarray, hist))
                 callback(it, hist_chunks[-1], state)
+            else:
+                hist_chunks.append(hist)  # stay on device; chunks pipeline
         # history leaves: (length, batch) per chunk -> (num_iter, batch)
-        history = jax.tree_util.tree_map(lambda *xs: np.concatenate(xs), *hist_chunks)
+        history = jax.tree_util.tree_map(
+            lambda *xs: np.concatenate([np.asarray(x) for x in xs]),
+            *hist_chunks,
+        )
         return state, history
 
     def render(self, state: FitState) -> jax.Array:
