@@ -55,17 +55,24 @@ class LearnableDownsampler(nn.Module):
             k2.shape,
         )
         ksize = k2.shape[0]
+        f = self.factor
         if self.preserve_size:
-            p = (ksize - 1) // 2 if ksize % 2 == 1 else (ksize - self.factor) // 2
+            p = (ksize - 1) // 2 if ksize % 2 == 1 else (ksize - f) // 2
             x = pad2d(x, p, "replication")
-        c = x.shape[-1]
-        w = jnp.broadcast_to(kernel[:, :, None, None], (ksize, ksize, 1, c)).astype(x.dtype)
-        return lax.conv_general_dilated(
-            x,
-            w,
-            window_strides=(self.factor, self.factor),
-            padding="VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=c,
-            precision=lax.Precision.HIGHEST,
-        )
+        n, h_in, w_in, c = x.shape
+        h_out = (h_in - ksize) // f + 1
+        w_out = (w_in - ksize) // f + 1
+        # strided tap-sum: differentiable w.r.t. the learnable kernel and
+        # free of feature-grouped convolutions (whose autodiff transpose
+        # miscompiles on some TPU backends). K^2 static slices, all fused.
+        acc = jnp.zeros((n, h_out, w_out, c), x.dtype)
+        for i in range(ksize):
+            for j in range(ksize):
+                patch = lax.slice(
+                    x,
+                    (0, i, j, 0),
+                    (n, i + (h_out - 1) * f + 1, j + (w_out - 1) * f + 1, c),
+                    (1, f, f, 1),
+                )
+                acc = acc + kernel[i, j].astype(x.dtype) * patch
+        return acc

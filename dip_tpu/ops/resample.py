@@ -125,30 +125,37 @@ def resample_kernel_2d(factor: int, kernel_type: str = "lanczos2", phase: float 
 
 
 # ---------------------------------------------------------------------------
-# depthwise separable apply
+# separable apply as banded-matrix contractions (MXU-native)
 # ---------------------------------------------------------------------------
+#
+# A strided 1-D correlation is a banded matrix: S[o, i] = k[i - o*f] for
+# i in [o*f, o*f+K). Downsampling is then y = S_h · X · S_w^T per channel —
+# two einsums that XLA lowers to plain MXU matmuls. This is preferred over
+# depthwise (feature-grouped) convolutions on TPU: grouped convs fall off the
+# MXU fast path, and their autodiff transpose miscompiles on some backends.
 
-def _depthwise_conv_1d(x: jnp.ndarray, k: jnp.ndarray, axis: int, stride: int) -> jnp.ndarray:
-    """Depthwise conv of NHWC `x` with 1-D kernel `k` along H (axis=1) or W (axis=2)."""
-    c = x.shape[-1]
+def _band_matrix(k: np.ndarray, n_in: int, n_out: int, stride: int) -> np.ndarray:
+    s = np.zeros((n_out, n_in), dtype=np.float32)
     ksize = k.shape[0]
-    if axis == 1:
-        kernel = jnp.broadcast_to(k.reshape(ksize, 1, 1, 1), (ksize, 1, 1, c))
-        strides = (stride, 1)
-    else:
-        kernel = jnp.broadcast_to(k.reshape(1, ksize, 1, 1), (1, ksize, 1, c))
-        strides = (1, stride)
+    for o in range(n_out):
+        s[o, o * stride : o * stride + ksize] = k
+    return s
+
+
+def _separable_matmul(x: jnp.ndarray, k: jnp.ndarray | np.ndarray,
+                      factor: int) -> jnp.ndarray:
+    """Apply the 1-D profile along H then W with stride `factor` (NHWC)."""
+    n, h_in, w_in, c = x.shape
+    k_np = np.asarray(k, dtype=np.float32)
+    ksize = k_np.shape[0]
+    h_out = (h_in - ksize) // factor + 1
+    w_out = (w_in - ksize) // factor + 1
+    s_h = jnp.asarray(_band_matrix(k_np, h_in, h_out, factor), dtype=x.dtype)
+    s_w = jnp.asarray(_band_matrix(k_np, w_in, w_out, factor), dtype=x.dtype)
     # HIGHEST precision: this op sits inside the SR loss graph and its
-    # accuracy bounds achievable PSNR; bf16 multiplies would cost ~1e-3.
-    return lax.conv_general_dilated(
-        x,
-        kernel.astype(x.dtype),
-        window_strides=strides,
-        padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=c,
-        precision=lax.Precision.HIGHEST,
-    )
+    # accuracy bounds achievable PSNR.
+    y = jnp.einsum("oh,nhwc->nowc", s_h, x, precision=lax.Precision.HIGHEST)
+    return jnp.einsum("pw,nowc->nopc", s_w, y, precision=lax.Precision.HIGHEST)
 
 
 def downsample(
@@ -168,8 +175,8 @@ def downsample(
     convolution with the normalized kernel — here run separably.
     Differentiable; used inside the SR task's autodiff graph.
     """
-    k1 = jnp.asarray(resample_kernel_1d(factor, kernel_type, phase, kernel_width,
-                                        support, sigma), dtype=x.dtype)
+    k1 = resample_kernel_1d(factor, kernel_type, phase, kernel_width,
+                            support, sigma)
     ksize = k1.shape[0]
     if preserve_size:
         if ksize % 2 == 1:
@@ -177,9 +184,7 @@ def downsample(
         else:
             p = (ksize - factor) // 2
         x = pad2d(x, p, "replication")
-    y = _depthwise_conv_1d(x, k1, axis=1, stride=factor)
-    y = _depthwise_conv_1d(y, k1, axis=2, stride=factor)
-    return y
+    return _separable_matmul(x, k1, factor)
 
 
 def upsample(x: jnp.ndarray, scale: int = 2, mode: str = "nearest") -> jnp.ndarray:
