@@ -104,6 +104,14 @@ def test_converter_torchvision_layout():
     assert out["conv1"]["kernel"].shape == (11, 11, 3, 96)
 
 
+_FIT_SMOKE_SKIP = pytest.mark.skipif(
+    jax.devices()[0].platform != "cpu",
+    reason="fit smokes through the backbone stall the tunneled TPU backend; "
+           "covered by CPU runs (DIP_PLATFORM=cpu)",
+)
+
+
+@_FIT_SMOKE_SKIP
 def test_feature_inversion_task_smoke():
     from dip_tpu.tasks.feature_inversion import FeatureInversion
     from dip_tpu.tasks.base import run_task
@@ -118,6 +126,7 @@ def test_feature_inversion_task_smoke():
     assert np.isfinite(hist["loss"]).all()
 
 
+@_FIT_SMOKE_SKIP
 def test_activation_maximization_task_smoke():
     from dip_tpu.tasks import activation_maximization as am
     from dip_tpu.tasks.base import run_task
