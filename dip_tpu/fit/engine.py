@@ -60,6 +60,9 @@ class FitConfig:
     log_every: int = 100             # scan chunk size between host callbacks
     lbfgs_warmup: int = 100          # Adam warm-up steps before LBFGS
     lbfgs_warmup_lr: float = 1e-3
+    compute_dtype: str | None = None  # opt-in 'bfloat16' forward/backward:
+                                      # params + loss stay f32 (mixed
+                                      # precision); quality-validate per task
 
 
 class FitState(NamedTuple):
@@ -185,6 +188,15 @@ class Engine:
         p_net = params["net"]
         if self.cfg.param_noise and param_key is not None:
             p_net = _jitter_params(p_net, param_key)
+        if self.cfg.compute_dtype is not None:
+            # mixed precision: cast params + input for the forward (MXU runs
+            # bf16 at 2x); master params and the loss remain f32
+            cd = jnp.dtype(self.cfg.compute_dtype)
+            p_net = jax.tree_util.tree_map(lambda x: x.astype(cd), p_net)
+            z_used = z_used.astype(cd)
+            out = self.model.apply({"params": p_net}, z_used,
+                                   rngs={"noise": noise_key})
+            return out.astype(jnp.float32)
         return self.model.apply({"params": p_net}, z_used, rngs={"noise": noise_key})
 
     def step(self, state: FitState, aux: Any) -> tuple[FitState, dict]:

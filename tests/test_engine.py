@@ -143,3 +143,20 @@ def test_meshgrid_input():
     assert z.shape == (1, 16, 24, 2)
     np.testing.assert_allclose(float(z[0, 0, -1, 0]), 1.0)
     np.testing.assert_allclose(float(z[0, -1, 0, 1]), 1.0)
+
+
+def test_mixed_precision_compute_dtype():
+    """bf16 forward/backward with f32 master params still converges."""
+    target = _toy_image(16, 16)
+    cfg = FitConfig(num_iter=60, lr=0.02, log_every=60,
+                    compute_dtype="bfloat16")
+    z = get_noise(jax.random.key(1), 4, "noise", (16, 16))
+    model = Skip(num_channels_down=[8], num_channels_up=[8],
+                 num_channels_skip=[2])
+    out, state, hist = fit(
+        model, lambda p, o, a: mse(o, a), cfg, jax.random.key(0), z, aux=target
+    )
+    # params stayed f32
+    assert all(x.dtype == jnp.float32
+               for x in jax.tree_util.tree_leaves(state.params))
+    assert hist["loss"][-1] < hist["loss"][0] * 0.7
