@@ -129,10 +129,12 @@ def main(argv=None):
     sub = p.add_subparsers(dest="cmd", required=True)
 
     f = sub.add_parser("fit", help="run a DIP workload")
-    f.add_argument("--task", required=True,
+    f.add_argument("--config", default=None,
+                   help="YAML file providing any of the flags below")
+    f.add_argument("--task", default=None,
                    choices=["denoise", "inpaint", "restore", "sr",
                             "flash_no_flash"])
-    f.add_argument("--image", required=True)
+    f.add_argument("--image", default=None)
     f.add_argument("--mask", default="text",
                    help="inpaint: mask path | 'text' | 'bernoulli:FRAC'; "
                         "flash_no_flash: the no-flash image path")
@@ -162,6 +164,13 @@ def main(argv=None):
     e.set_defaults(fn=cmd_eval_sr)
 
     args = p.parse_args(argv)
+    if getattr(args, "config", None):
+        from dip_tpu.cli.config import apply_config, load_config
+
+        defaults = {a.dest: a.default for a in f._actions}
+        apply_config(args, load_config(args.config), defaults)
+    if args.cmd == "fit" and (not args.task or not args.image):
+        p.error("fit requires --task and --image (via flags or --config)")
     args.fn(args)
 
 

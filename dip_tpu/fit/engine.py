@@ -63,6 +63,11 @@ class FitConfig:
     compute_dtype: str | None = None  # opt-in 'bfloat16' forward/backward:
                                       # params + loss stay f32 (mixed
                                       # precision); quality-validate per task
+    # staged jitter schedule: ((until_step, std), ...) overrides
+    # reg_noise_std per step range — the big feature-inversion recipe
+    # (feature_inversion.ipynb cell 21: *10 until 10k, *2 until 15k, /2
+    # until 20k). Evaluated on-device with jnp.select.
+    reg_noise_schedule: tuple | None = None
 
 
 class FitState(NamedTuple):
@@ -204,7 +209,15 @@ class Engine:
         key, k_jit, k_param, k_gen = jax.random.split(state.key, 4)
 
         z_base = state.params["input"] if cfg.opt_input else state.z
-        if cfg.reg_noise_std > 0:
+        if cfg.reg_noise_schedule:
+            bounds = jnp.asarray([b for b, _ in cfg.reg_noise_schedule])
+            stds = jnp.asarray([s for _, s in cfg.reg_noise_schedule],
+                               jnp.float32)
+            std = jnp.select([state.step < b for b in bounds], list(stds),
+                             jnp.float32(cfg.reg_noise_std))
+            z_used = z_base + std * jax.random.normal(
+                k_jit, z_base.shape, z_base.dtype)
+        elif cfg.reg_noise_std > 0:
             z_used = z_base + cfg.reg_noise_std * jax.random.normal(
                 k_jit, z_base.shape, z_base.dtype
             )

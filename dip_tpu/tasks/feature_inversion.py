@@ -118,3 +118,20 @@ def task(content_img_nhwc, backbone: str = "alexnet_caffe",
          **kw):
     return FeatureInversion(backbone, layers, weights_path=weights_path,
                             **kw).spec(content_img_nhwc)
+
+
+def big_run_spec(fi: FeatureInversion, content_img_nhwc, input_depth: int = 2):
+    """The 20k-iteration staged-noise variant (feature_inversion.ipynb cells
+    20-22): meshgrid-width-2 input, LR 0.01, input jitter x10 until 10k, x2
+    until 15k, x0.5 until 20k, with weight jitter."""
+    import dataclasses
+
+    spec = fi.spec(content_img_nhwc, input_depth=input_depth)
+    cfg = dataclasses.replace(
+        spec.cfg,
+        num_iter=20000,
+        lr=0.01,
+        param_noise=True,
+        reg_noise_schedule=((10000, 10.0), (15000, 2.0), (20000, 0.5)),
+    )
+    return dataclasses.replace(spec, cfg=cfg)

@@ -13,6 +13,7 @@ import os
 
 
 def apply_platform_env(default: str | None = None) -> None:
+    enable_compile_cache()
     want = os.environ.get("DIP_PLATFORM") or default
     if not want:
         return
@@ -23,6 +24,24 @@ def apply_platform_env(default: str | None = None) -> None:
             jax.config.update("jax_platforms", want)
     except Exception:
         pass  # backend already initialized; leave as-is
+
+
+def enable_compile_cache(path: str | None = None) -> None:
+    """Persistent XLA compile cache: per-image-fit CLI invocations are
+    short-lived processes, so recompiling the scan program every run would
+    dominate wall-clock. Opt out with DIP_COMPILE_CACHE=0."""
+    env = os.environ.get("DIP_COMPILE_CACHE", "")
+    if env == "0":
+        return
+    path = path or env or os.path.expanduser("~/.cache/dip_tpu_xla")
+    import jax
+
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
 
 
 def cpu_devices(n: int | None = None):

@@ -160,3 +160,20 @@ def test_mixed_precision_compute_dtype():
     assert all(x.dtype == jnp.float32
                for x in jax.tree_util.tree_leaves(state.params))
     assert hist["loss"][-1] < hist["loss"][0] * 0.7
+
+
+def test_reg_noise_schedule():
+    """Staged jitter: std selected by step range, falls back past the end."""
+    target = _toy_image(16, 16)
+    cfg = FitConfig(num_iter=12, lr=0.01, log_every=12,
+                    reg_noise_std=0.01,
+                    reg_noise_schedule=((4, 0.5), (8, 0.1)))
+    z = get_noise(jax.random.key(1), 4, "noise", (16, 16))
+    model = Skip(num_channels_down=[8], num_channels_up=[8],
+                 num_channels_skip=[2])
+    out, state, hist = fit(
+        model, lambda p, o, a: mse(o, a), cfg, jax.random.key(0), z, aux=target
+    )
+    assert np.isfinite(hist["loss"]).all()
+    # big early jitter makes early losses noisier than late ones
+    assert hist["loss"][:4].std() > 0
