@@ -41,26 +41,32 @@ except ImportError:  # pragma: no cover
 
 
 def _kernel_body(ktaps: int, factor: int, w_out: int, rows_per_prog: int,
-                 k_ref, x_ref, o_ref):
-    """Compute `rows_per_prog` output rows for one (plane, row-block)."""
+                 k_ref, x_ref, sw_ref, o_ref):
+    """Compute `rows_per_prog` output rows for one (plane, row-block).
+
+    One aligned VMEM load per program (base = rb*rows_per_prog*factor, a
+    multiple of 8 by construction — Mosaic requires provably 8-aligned
+    sublane bases), then static in-block taps for the H-pass (VPU) and one
+    banded-matrix matmul for the strided W-pass (MXU; Mosaic has no strided
+    vector slices, and the matmul is the MXU-native form anyway).
+    """
     c = pl.program_id(0)
     rb = pl.program_id(1)
     f = factor
+    blk_h = (rows_per_prog - 1) * f + ktaps
+    base = rb * (rows_per_prog * f)
+    blk = x_ref[c, pl.ds(base, blk_h), :]  # (blk_h, W_in), aligned base
+    tmp_rows = []
     for r in range(rows_per_prog):
-        oh = rb * rows_per_prog + r
-        # K input rows for this output row: (K, W_in)
-        rows = x_ref[c, pl.ds(oh * f, ktaps), :]
-        # H-pass: profile-weighted sum over the K rows -> (W_in,)
-        tmp = jnp.zeros((rows.shape[-1],), jnp.float32)
+        tmp = jnp.zeros((blk.shape[-1],), jnp.float32)
         for i in range(ktaps):
-            tmp = tmp + k_ref[i] * rows[i, :].astype(jnp.float32)
-        # W-pass: strided taps; slice j : j + W_out*f : f is static per tap
-        acc = jnp.zeros((w_out,), jnp.float32)
-        for j in range(ktaps):
-            acc = acc + k_ref[j] * jax.lax.slice(
-                tmp, (j,), (j + (w_out - 1) * f + 1,), (f,)
-            )
-        o_ref[c, oh, :] = acc.astype(o_ref.dtype)
+            tmp = tmp + k_ref[i] * blk[r * f + i, :].astype(jnp.float32)
+        tmp_rows.append(tmp)
+    tmp_blk = jnp.stack(tmp_rows, axis=0)  # (rows_per_prog, W_in)
+    # HIGHEST precision: parity with the XLA path (PSNR-critical op)
+    acc = jnp.dot(tmp_blk, sw_ref[:, :], preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
+    o_ref[c, pl.ds(rb * rows_per_prog, rows_per_prog), :] = acc.astype(o_ref.dtype)
 
 
 def downsample_fused(
@@ -79,20 +85,28 @@ def downsample_fused(
     k1 = np.asarray(resample_kernel_1d(factor, kernel_type, phase),
                     dtype=np.float32)
     ktaps = k1.shape[0]
+    x_padded = x
     if preserve_size:
         p = (ktaps - 1) // 2 if ktaps % 2 == 1 else (ktaps - factor) // 2
-        x = pad2d(x, p, "replication")
+        x_padded = pad2d(x, p, "replication")
 
-    n, h_in, w_in, c = x.shape
+    n, h_in, w_in, c = x_padded.shape
     h_out = (h_in - ktaps) // factor + 1
     w_out = (w_in - ktaps) // factor + 1
 
-    # channel-planar: (N*C, H_in, W_in) so W rides the lane dimension
-    xp = x.transpose(0, 3, 1, 2).reshape(n * c, h_in, w_in)
+    # rows_per_prog fixed at 8: the per-program input base rb*rpp*f and
+    # output base rb*rpp must be provably 8-aligned for Mosaic vector loads.
+    rpp = 8
+    if h_out % rpp or interpret is False and w_out < 8:
+        # odd geometry: fall back to the XLA banded-matmul path
+        return downsample_xla(x, factor, kernel_type, phase, preserve_size)
 
-    rpp = max(1, min(rows_per_prog, h_out))
-    while h_out % rpp:
-        rpp -= 1
+    # channel-planar: (N*C, H_in, W_in) so W rides the lane dimension
+    xp = x_padded.transpose(0, 3, 1, 2).reshape(n * c, h_in, w_in)
+
+    from dip_tpu.ops.resample import _band_matrix
+
+    s_wt = jnp.asarray(_band_matrix(k1, w_in, w_out, factor).T)  # (W_in, W_out)
 
     body = functools.partial(_kernel_body, ktaps, factor, w_out, rpp)
     out = pl.pallas_call(
@@ -101,10 +115,11 @@ def downsample_fused(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # 1-D profile taps
             pl.BlockSpec(memory_space=pltpu.VMEM),   # full input planes
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # banded W matrix
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n * c, h_out, w_out), x.dtype),
         interpret=interpret,
-    )(jnp.asarray(k1), xp)
+    )(jnp.asarray(k1), xp, s_wt)
 
     return out.reshape(n, c, h_out, w_out).transpose(0, 2, 3, 1)
