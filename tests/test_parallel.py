@@ -64,3 +64,39 @@ def test_mesh_sharded_dryrun_subprocess():
     )
     assert res.returncode == 0, res.stderr[-2000:]
     assert "OK" in res.stdout
+
+
+@pytest.mark.slow
+def test_spatial_sharding_subprocess():
+    """One image fit with H sharded over 8 virtual CPU devices: XLA SPMD
+    inserts conv halo exchanges; loss must decrease."""
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "import jax.numpy as jnp, numpy as np;"
+        "from dip_tpu.fit.engine import FitConfig;"
+        "from dip_tpu.models import Skip;"
+        "from dip_tpu.ops.losses import mse;"
+        "from dip_tpu.parallel.spatial import SpatialEngine, make_spatial_mesh;"
+        "from dip_tpu.utils.noise import get_noise;"
+        "mesh = make_spatial_mesh(8);"
+        "m = Skip(num_channels_down=[8], num_channels_up=[8],"
+        "         num_channels_skip=[2]);"
+        "cfg = FitConfig(num_iter=20, lr=0.02, log_every=20);"
+        "t = jnp.asarray(np.random.default_rng(0).random((1,64,64,3)),"
+        "                jnp.float32);"
+        "e = SpatialEngine(m, lambda p,o,a: mse(o,a), cfg, mesh=mesh);"
+        "z = get_noise(jax.random.key(1), 4, 'noise', (64,64));"
+        "s = e.init_state(jax.random.key(0), z);"
+        "s, h = e.run(s, t);"
+        "assert h['loss'][-1] < h['loss'][0];"
+        "print('OK')"
+    )
+    res = subprocess.run(
+        [sys.executable, "-c", code],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env, capture_output=True, text=True, timeout=1200,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "OK" in res.stdout
