@@ -14,7 +14,6 @@ ships the same workloads as commands with the notebook recipes as presets:
 from __future__ import annotations
 
 import argparse
-import sys
 import time
 
 import numpy as np

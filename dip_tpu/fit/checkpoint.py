@@ -10,7 +10,7 @@ counter) so a resumed fit is bit-identical to an uninterrupted one.
 from __future__ import annotations
 
 import os
-from typing import Any
+
 
 import jax
 import numpy as np

@@ -16,7 +16,7 @@ pure function of (params, rng) — exactly what lax.scan wants.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Sequence
+from typing import Callable, Sequence
 
 import jax
 import jax.numpy as jnp

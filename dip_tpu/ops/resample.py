@@ -1,4 +1,4 @@
-"""Anti-aliased resampling as separable depthwise convolutions (NHWC).
+"""Anti-aliased resampling as separable banded-matrix contractions (NHWC).
 
 TPU-first re-design of the reference Downsampler op
 (/root/reference/models/downsampler.py:5-135).  The reference materializes a
@@ -6,10 +6,11 @@ dense 2-D kernel and runs a full C->C conv whose weight is block-diagonal
 (one 2-D kernel per channel, zeros elsewhere).  Here we observe that every
 kernel family it supports (lanczos, gauss, box) is *separable* — the 2-D
 kernel is the outer product of a 1-D profile with itself, and normalization
-factors through the outer product — so we lower to two 1-D depthwise convs
-(stride along H, then along W).  That cuts FLOPs from O(K^2) to O(2K) per
-output pixel and maps onto cheap VPU/fused XLA convolutions instead of a
-wastefully sparse MXU matmul.
+factors through the outer product — so we lower to two strided 1-D
+correlations expressed as banded-matrix einsums (plain MXU matmuls).  That
+cuts FLOPs from O(K^2) to O(2K) per output pixel, and deliberately avoids
+depthwise feature-grouped convolutions, which fall off the TPU fast path
+and whose autodiff transpose miscompiles on some backends.
 
 Kernel numerics match the reference bit-for-bit up to float assoc:
  - 'lanczos2': support 2, width 4f+1; 'lanczos3': support 3, width 6f+1
@@ -25,7 +26,6 @@ Kernel numerics match the reference bit-for-bit up to float assoc:
 
 from __future__ import annotations
 
-import functools
 
 import numpy as np
 import jax

@@ -30,7 +30,7 @@ import numpy as np
 from jax.sharding import PartitionSpec as P
 
 from dip_tpu.fit.engine import Engine, FitConfig, FitState, unalias
-from dip_tpu.parallel.mesh import make_mesh, shard_batch
+from dip_tpu.parallel.mesh import shard_batch
 
 
 class BatchEngine:

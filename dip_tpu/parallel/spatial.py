@@ -25,7 +25,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from dip_tpu.fit.engine import Engine, FitConfig, FitState, unalias
+from dip_tpu.fit.engine import Engine, FitConfig, FitState
 
 
 def make_spatial_mesh(n_devices: int | None = None) -> Mesh:

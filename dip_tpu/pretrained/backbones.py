@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 from jax import lax
 
-from dip_tpu.models.blocks import torch_conv_kernel_init, torch_conv_bias_init
+from dip_tpu.models.blocks import torch_conv_kernel_init
 from dip_tpu.ops.resample import max_pool
 
 
