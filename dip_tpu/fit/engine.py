@@ -174,13 +174,16 @@ class Engine:
             trainable["net"], z,
         )
         ema = jnp.zeros(out_shape.shape, out_shape.dtype)
+        # the backtracking snapshot doubles param memory; only carry it when
+        # the feature is on (an empty dict is a leafless pytree)
+        snapshot = trainable if self.cfg.backtrack else {}
         state = FitState(
             params=trainable,
             opt_state=opt_state,
             z=z,
             ema_out=ema,
             key=k_run,
-            snapshot=trainable,
+            snapshot=snapshot,
             last_track=jnp.asarray(0.0, jnp.float32),
             step=jnp.asarray(0, jnp.int32),
         )

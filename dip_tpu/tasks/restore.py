@@ -23,9 +23,11 @@ def task(
     mask_nhwc,
     preset: str = "barbara",
     num_iter: int | None = None,
+    gt=None,
 ) -> TaskSpec:
     img = jnp.asarray(img_nhwc)
     mask = jnp.asarray(mask_nhwc)
+    gt_j = None if gt is None else jnp.asarray(gt)
     n_out = img.shape[-1]
     h, w = img.shape[1], img.shape[2]
 
@@ -56,10 +58,11 @@ def task(
         iters = num_iter
 
     def metrics_fn(out, ema, aux):
-        return {
-            "psnr_track": psnr(out * aux["mask"], aux["img"] * aux["mask"]),
-            "psnr_full": psnr(out, aux["img"]),
-        }
+        m = {"psnr_track": psnr(out * aux["mask"], aux["img"] * aux["mask"])}
+        if gt_j is not None:
+            # vs clean ground truth (restoration.ipynb cell 9's `psrn`)
+            m["psnr_full"] = psnr(out, gt_j)
+        return m
 
     return TaskSpec(
         name=f"restore/{preset}",

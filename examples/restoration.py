@@ -33,8 +33,10 @@ def main():
     mask = get_bernoulli_mask(img.shape, zero_fraction,
                               np.random.default_rng(args.seed))
 
-    spec = restore.task(hwc_to_nhwc(img), hwc_to_nhwc(mask),
-                        preset=args.preset, num_iter=args.num_iter)
+    # observation = img*mask; the clean image serves as GT for metrics
+    spec = restore.task(hwc_to_nhwc(img * mask), hwc_to_nhwc(mask),
+                        preset=args.preset, num_iter=args.num_iter,
+                        gt=hwc_to_nhwc(img))
 
     def cb(it, hist, state):
         print(f"iter {it:5d}  loss {hist['loss'][-1]:.6f}"
