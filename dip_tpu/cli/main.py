@@ -61,9 +61,9 @@ def cmd_fit(args):
         img = _load(args.image, d=64)
         frac = 0.5 if (args.preset or "barbara") == "barbara" else 0.98
         mask = get_bernoulli_mask(img.shape, zero_fraction=frac)
-        spec = restore.task(hwc_to_nhwc(img), hwc_to_nhwc(mask),
+        spec = restore.task(hwc_to_nhwc(img * mask), hwc_to_nhwc(mask),
                             preset=args.preset or "barbara",
-                            num_iter=args.num_iter)
+                            num_iter=args.num_iter, gt=hwc_to_nhwc(img))
     elif args.task == "sr":
         imgs = super_resolve.load_lr_hr(args.image, -1, args.factor, "CROP")
         spec = super_resolve.task(hwc_to_nhwc(imgs["LR_np"]),
