@@ -69,6 +69,7 @@ def _kernel_body(ktaps: int, factor: int, w_out: int, rows_per_prog: int,
     o_ref[c, pl.ds(rb * rows_per_prog, rows_per_prog), :] = acc.astype(o_ref.dtype)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5, 6))
 def downsample_fused(
     x: jnp.ndarray,
     factor: int,
@@ -78,7 +79,13 @@ def downsample_fused(
     rows_per_prog: int = 8,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Fused Pallas downsample of NHWC `x`. Semantics == ops.resample.downsample."""
+    """Fused Pallas downsample of NHWC `x`. Semantics == ops.resample.downsample.
+
+    Differentiable via custom VJP: the adjoint of y = S_h X S_w^T is
+    dX = S_h^T g S_w (transposed banded matmuls, run as XLA einsums), plus
+    the replication-pad adjoint (edge-gradient accumulation) when
+    preserve_size is on — so the kernel drops into training losses.
+    """
     if not HAVE_PALLAS:
         return downsample_xla(x, factor, kernel_type, phase, preserve_size)
 
@@ -123,3 +130,26 @@ def downsample_fused(
     )(jnp.asarray(k1), xp, s_wt)
 
     return out.reshape(n, c, h_out, w_out).transpose(0, 2, 3, 1)
+
+
+def _fused_fwd(x, factor, kernel_type, phase, preserve_size, rows_per_prog,
+               interpret):
+    y = downsample_fused(x, factor, kernel_type, phase, preserve_size,
+                         rows_per_prog, interpret)
+    return y, x.shape
+
+
+def _fused_bwd(factor, kernel_type, phase, preserve_size, rows_per_prog,
+               interpret, x_shape, g):
+    # downsampling is linear in x, so its VJP is point-independent: reuse the
+    # XLA banded-matmul path's exact adjoint (transposed banded matmuls plus
+    # the replication-pad gradient fold), derived by autodiff.
+    x0 = jnp.zeros(x_shape, g.dtype)
+    _, vjp = jax.vjp(
+        lambda x: downsample_xla(x, factor, kernel_type, phase, preserve_size),
+        x0,
+    )
+    return vjp(g)
+
+
+downsample_fused.defvjp(_fused_fwd, _fused_bwd)

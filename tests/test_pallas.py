@@ -34,3 +34,25 @@ def test_fused_constant_preserved():
     y = downsample_fused(x, 4, "lanczos2", 0.5, True, interpret=True)
     assert y.shape == (1, 8, 8, 3)
     np.testing.assert_allclose(np.asarray(y), 0.7, atol=1e-5)
+
+
+@pytest.mark.skipif(not HAVE_PALLAS, reason="pallas unavailable")
+def test_fused_custom_vjp_matches_xla_grad():
+    """The kernel's custom VJP must equal the XLA path's autodiff gradient."""
+    import jax
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.random((1, 64, 64, 3)), dtype=jnp.float32)
+    tgt = jnp.asarray(rng.random((1, 16, 16, 3)), dtype=jnp.float32)
+
+    def loss_fused(x):
+        y = downsample_fused(x, 4, "lanczos2", 0.5, True, interpret=True)
+        return jnp.mean((y - tgt) ** 2)
+
+    def loss_xla(x):
+        y = downsample(x, 4, "lanczos2", 0.5, True)
+        return jnp.mean((y - tgt) ** 2)
+
+    g1 = jax.grad(loss_fused)(x)
+    g2 = jax.grad(loss_xla)(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-6)
