@@ -164,11 +164,16 @@ def task(
             m["psnr_hr"] = psnr(out_hr, hr_gt_j)
         return m
 
+    # reference parity: opt_over='net,down' optimizes the degradation kernel
+    # jointly (get_params 'down', utils/common_utils.py:44-46)
+    opt_over = "net" + (",input" if opt_input else "") + (
+        ",down" if learnable_downsampler else "")
     return TaskSpec(
         name=f"sr/x{factor}" + ("" if net == "skip" else f"/{net}"),
         model=model,
         cfg=FitConfig(num_iter=iters, lr=lr, reg_noise_std=jitter,
-                      backtrack=not opt_input, opt_input=opt_input),
+                      backtrack=not opt_input, opt_input=opt_input,
+                      opt_over=opt_over),
         loss_fn=loss_fn,
         aux={"lr": img_lr},
         metrics_fn=metrics_fn,

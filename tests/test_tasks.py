@@ -8,6 +8,7 @@ on the spec) — preset *configs* are asserted as built, but compiling the
 import dataclasses
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -114,4 +115,24 @@ def test_flash_no_flash_smoke():
     assert spec.net_input is not None
     out, _, hist = run_task(_tiny(spec), jax.random.key(0))
     assert out.shape == noflash.shape
+    assert hist["loss"][-1] < hist["loss"][0]
+
+
+def test_sr_learnable_downsampler():
+    """opt_over='net,down': the degradation kernel is a trainable leaf.
+
+    factor=2 keeps the learnable kernel at 8x8 (64 tap-slices to compile);
+    factor=4's 16x16 kernel compiles for ~7 minutes on this 1-core host."""
+    hr = _toy(32, 32)
+    lr = hr[:, ::2, ::2, :]
+    spec = super_resolve.task(lr, factor=2, learnable_downsampler=True,
+                              num_iter=30)
+    assert "down" in spec.extra_params
+    assert "down" in spec.cfg.opt_over
+    out, state, hist = run_task(_tiny(spec), jax.random.key(0))
+    assert "down" in state.params
+    # the kernel moved away from its initialization (it is being optimized)
+    init_k = spec.extra_params["down"]["kernel"]
+    final_k = state.params["down"]["kernel"]
+    assert float(jnp.abs(final_k - init_k).max()) > 0
     assert hist["loss"][-1] < hist["loss"][0]
