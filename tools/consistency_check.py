@@ -68,6 +68,24 @@ def run_battery():
     results["sr_downsample_loss"] = fit(
         "sr", mk(), loss=lambda p, o, a: mse(
             downsample(o, 4, "lanczos2", 0.5, True), lr_t))
+
+    # learnable degradation kernel in the loss (opt_over='net,down')
+    from dip_tpu.models.downsampler import LearnableDownsampler
+
+    ld = LearnableDownsampler(factor=2)
+    ld_vars = jax.jit(ld.init)(jax.random.key(5), target)
+    lr2 = downsample(target, 2, "lanczos2", 0.5, True)
+
+    def ld_loss(p, o, a):
+        return mse(ld.apply({"params": p["down"]}, o), lr2)
+
+    cfg = FitConfig(num_iter=60, lr=0.01, log_every=60)
+    eng = Engine(mk(), ld_loss, cfg)
+    z = get_noise(jax.random.key(1), 8, "noise", (32, 32))
+    st = eng.init_state(jax.random.key(0), z,
+                        extra_params={"down": ld_vars["params"]})
+    st, hist = eng.run(st, None)
+    results["learnable_downsampler"] = float(hist["loss"][-1])
     return results
 
 
