@@ -136,3 +136,23 @@ def test_activation_maximization_task_smoke():
     out, state, hist = run_task(spec, jax.random.key(0))
     assert out.shape == (1, 48, 48, 3)
     assert np.isfinite(hist["loss"]).all()
+
+
+def test_perceptual_loss_smoke():
+    """PerceptualLoss: zero for identical inputs, positive otherwise,
+    differentiable."""
+    from dip_tpu.pretrained.perceptual import PerceptualLoss
+
+    pl = PerceptualLoss(
+        net_type="vgg16_caffe",
+        match=[{"layers": ("relu1_2",), "what": "features"},
+               {"layers": ("conv2_1",), "what": "gram_matrix"}],
+        imsize=32,
+    )
+    x = jnp.ones((1, 32, 32, 3)) * 0.4
+    y = jnp.ones((1, 32, 32, 3)) * 0.6
+    assert float(pl(x, x)) == 0.0
+    v = float(pl(x, y))
+    assert v > 0
+    g = jax.grad(lambda a: pl(a, y))(x)
+    assert np.isfinite(np.asarray(g)).all()
