@@ -78,6 +78,11 @@ def cmd_fit(args):
     else:
         raise SystemExit(f"unknown task {args.task!r}")
 
+    if args.log_every:
+        import dataclasses
+
+        spec.cfg = dataclasses.replace(spec.cfg, log_every=args.log_every)
+
     def cb(it, hist, state):
         msg = f"iter {it:5d}  loss {hist['loss'][-1]:.6f}"
         for k in ("psnr_gt", "psnr_hr", "psnr_full"):
@@ -142,6 +147,8 @@ def main(argv=None):
                    help="denoise: noise std in [0,255]; 0 = image already noisy")
     f.add_argument("--factor", type=int, default=4)
     f.add_argument("--num-iter", type=int, default=None)
+    f.add_argument("--log-every", type=int, default=None,
+                   help="scan chunk size between host callbacks")
     f.add_argument("--seed", type=int, default=0)
     f.add_argument("--out", default=None)
     f.add_argument("--save-ckpt", default=None,

@@ -19,13 +19,22 @@ from dip_tpu.fit.engine import FitState, unalias
 
 
 def save_fit_state(path: str, state: FitState) -> None:
-    """Persist a FitState. Uses orbax if available, else a npz fallback."""
+    """Persist a FitState. Uses orbax if available, else a npz fallback.
+
+    Overwrite-safe: repeated saves to the same path (the CLI checkpoints at
+    every log boundary) replace the previous checkpoint atomically rather
+    than raising orbax's "destination already exists" error.
+    """
     path = os.path.abspath(path)
     try:
         import orbax.checkpoint as ocp
 
         ckptr = ocp.StandardCheckpointer()
-        ckptr.save(path, jax.tree_util.tree_map(np.asarray, _keyless(state)))
+        ckptr.save(
+            path,
+            jax.tree_util.tree_map(np.asarray, _keyless(state)),
+            force=True,  # overwrite: periodic saves reuse one path
+        )
         ckptr.wait_until_finished()
     except ImportError:
         flat, treedef = jax.tree_util.tree_flatten(_keyless(state))
