@@ -54,8 +54,11 @@ def cmd_fit(args):
             mask = get_bernoulli_mask(img.shape, zero_fraction=frac)
         else:
             mask = _load(args.mask, d=64)
+        # the loaded image is the clean ground truth (the mask only enters
+        # the loss), so full-image PSNR vs it is meaningful — report it
         spec = inpaint.task(hwc_to_nhwc(img), hwc_to_nhwc(mask),
                             preset=args.preset or "kate",
+                            gt=hwc_to_nhwc(img),
                             num_iter=args.num_iter)
     elif args.task == "restore":
         img = _load(args.image, d=64)
@@ -75,6 +78,36 @@ def cmd_fit(args):
         noflash = _load(args.mask)  # --mask doubles as the second input
         spec = flash_no_flash.task(hwc_to_nhwc(flash), hwc_to_nhwc(noflash),
                                    num_iter=args.num_iter or 601)
+    elif args.task == "feature_inversion":
+        from dip_tpu.tasks import feature_inversion
+        from dip_tpu.utils.image_io import load_image, pil_to_np
+
+        layers = tuple(args.layer.split(",")) if args.layer else ("fc6",)
+        imsize = args.imsize or (227 if args.backbone.startswith("alexnet")
+                                 else 224)
+        pil = load_image(args.image).resize((imsize, imsize))
+        spec = feature_inversion.task(
+            hwc_to_nhwc(pil_to_np(pil)), backbone=args.backbone,
+            layers=layers, weights_path=args.weights, imsize=imsize,
+            imsize_net=-(-imsize // 64) * 64,  # net runs at /64-aligned size
+            num_iter=args.num_iter or 3100)
+    elif args.task == "activation_max":
+        from dip_tpu.data.imagenet_classes import resolve_class
+        from dip_tpu.tasks import activation_maximization
+
+        layer = args.layer or "conv4"
+        if layer in ("fc6", "fc7", "fc8", "softmax"):
+            idx, label = resolve_class(args.map_idx, args.class_map)
+            print(f"maximizing {layer}[{idx}] = {label!r}")
+        else:
+            idx = int(args.map_idx)
+        imsize = args.imsize or (227 if args.backbone.startswith("alexnet")
+                                 else 224)
+        spec = activation_maximization.task(
+            backbone=args.backbone, layer=layer, map_idx=idx,
+            window_size=args.window_size, weights_path=args.weights,
+            imsize=imsize, imsize_net=-(-imsize // 64) * 64,
+            num_iter=args.num_iter or 3100)
     else:
         raise SystemExit(f"unknown task {args.task!r}")
 
@@ -137,7 +170,8 @@ def main(argv=None):
                    help="YAML file providing any of the flags below")
     f.add_argument("--task", default=None,
                    choices=["denoise", "inpaint", "restore", "sr",
-                            "flash_no_flash"])
+                            "flash_no_flash", "feature_inversion",
+                            "activation_max"])
     f.add_argument("--image", default=None)
     f.add_argument("--mask", default="text",
                    help="inpaint: mask path | 'text' | 'bernoulli:FRAC'; "
@@ -151,6 +185,25 @@ def main(argv=None):
                    help="scan chunk size between host callbacks")
     f.add_argument("--seed", type=int, default=0)
     f.add_argument("--out", default=None)
+    f.add_argument("--backbone", default="alexnet_caffe",
+                   help="FI/AM: frozen classifier "
+                        "(alexnet_caffe|vgg19_caffe|vgg16_caffe|vgg_modified)")
+    f.add_argument("--layer", default=None,
+                   help="FI: comma list of tap layers (default fc6); "
+                        "AM: the layer to maximize (default conv4)")
+    f.add_argument("--weights", default=None,
+                   help="FI/AM: torch .pth state dict to convert and load")
+    f.add_argument("--map-idx", default="2",
+                   help="AM: unit index, or (fc layers) an ImageNet class "
+                        "name resolved via the class map")
+    f.add_argument("--window-size", type=int, default=20,
+                   help="AM: spatial window for conv objectives")
+    f.add_argument("--imsize", type=int, default=None,
+                   help="FI/AM: classifier input size (default 227 alexnet / "
+                        "224 vgg); the generator runs at the next /64 size")
+    f.add_argument("--class-map", default=None,
+                   help="path to an imagenet1000_clsid_to_human.txt-format "
+                        "class map (default: $DIP_IMAGENET_CLASSMAP)")
     f.add_argument("--save-ckpt", default=None,
                    help="checkpoint the fit state at every log boundary")
     f.add_argument("--profile", default=None,
@@ -175,8 +228,10 @@ def main(argv=None):
 
         defaults = {a.dest: a.default for a in f._actions}
         apply_config(args, load_config(args.config), defaults)
-    if args.cmd == "fit" and (not args.task or not args.image):
-        p.error("fit requires --task and --image (via flags or --config)")
+    if args.cmd == "fit" and not args.task:
+        p.error("fit requires --task (via flags or --config)")
+    if args.cmd == "fit" and not args.image and args.task != "activation_max":
+        p.error("fit requires --image (activation_max is image-free)")
     args.fn(args)
 
 

@@ -1,0 +1,256 @@
+"""Reproduce the reference's flagship recipes on its own bundled images.
+
+Runs every headline workload from the reference notebooks on the actual
+files under /root/reference/data (denoising.ipynb cell 6, inpainting.ipynb
+cell 7, super-resolution.ipynb cell 5, restoration.ipynb cell 7,
+flash-no-flash.ipynb) with the exact notebook hyperparameters, records
+quality + throughput per recipe, and writes output images to results/.
+
+    python tools/reproduce.py                   # all recipes, full iters
+    python tools/reproduce.py --only f16,kate   # subset
+    python tools/reproduce.py --quick           # 20-iter smoke of each
+
+Each run appends one JSON line to results/reproduce.jsonl; RESULTS.md is
+assembled from those records.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+DATA = os.environ.get("DIP_REFERENCE_DATA", "/root/reference/data")
+OUTDIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "results")
+
+
+def _load(path, d=32):
+    from dip_tpu.utils.image_io import crop_image, load_image, pil_to_np
+
+    return pil_to_np(crop_image(load_image(path), d=d))
+
+
+def _save(name, arr_nhwc):
+    from dip_tpu.utils.image_io import nhwc_to_hwc, save_image
+
+    os.makedirs(OUTDIR, exist_ok=True)
+    path = os.path.join(OUTDIR, name)
+    save_image(path, np.clip(nhwc_to_hwc(arr_nhwc), 0, 1))
+    return path
+
+
+def _run(spec, seed=0):
+    import jax
+
+    from dip_tpu.tasks.base import run_task
+
+    def cb(it, hist, state):
+        msg = f"  iter {it:5d}  loss {hist['loss'][-1]:.6f}"
+        for k in ("psnr_gt", "psnr_gt_sm", "psnr_hr", "psnr_full"):
+            if k in hist:
+                msg += f"  {k} {hist[k][-1]:.2f}"
+        print(msg, flush=True)
+
+    t0 = time.time()
+    out, state, hist = run_task(spec, jax.random.key(seed), callback=cb)
+    dt = time.time() - t0
+    return out, state, hist, dt
+
+
+def _stats(hist, key):
+    if key not in hist:
+        return {}
+    h = np.asarray(hist[key])
+    return {f"{key}_final": round(float(h[-1]), 3),
+            f"{key}_best": round(float(h.max()), 3)}
+
+
+# --------------------------------------------------------------------------
+# recipes
+# --------------------------------------------------------------------------
+
+def recipe_f16(iters=None):
+    """denoising.ipynb: F16, sigma=25, 3000 Adam iters (cells 6-10)."""
+    from dip_tpu.tasks import denoise
+    from dip_tpu.utils.image_io import hwc_to_nhwc
+
+    img = _load(f"{DATA}/denoising/F16_GT.png")
+    noisy = denoise.get_noisy_image(img, 25 / 255.0)
+    spec = denoise.task(hwc_to_nhwc(noisy), preset="f16",
+                        gt=hwc_to_nhwc(img), num_iter=iters)
+    out, state, hist, dt = _run(spec)
+    rec = {"recipe": "denoise/f16 sigma=25", "image": "F16_GT.png",
+           "size": f"{img.shape[1]}x{img.shape[0]}",
+           "psnr_noisy_input": round(float(
+               -10 * np.log10(np.mean((noisy - img) ** 2))), 3)}
+    rec.update(_stats(hist, "psnr_gt"))
+    rec.update(_stats(hist, "psnr_gt_sm"))
+    rec["out"] = _save("f16_out.png", out)
+    _save("f16_ema.png", state.ema_out)
+    return rec, hist, dt, spec.cfg.num_iter
+
+
+def recipe_snail(iters=None):
+    """denoising.ipynb blind de-JPEG: snail, 2400 iters, no GT."""
+    from dip_tpu.tasks import denoise
+    from dip_tpu.utils.image_io import hwc_to_nhwc
+
+    img = _load(f"{DATA}/denoising/snail.jpg")
+    spec = denoise.task(hwc_to_nhwc(img), preset="snail", num_iter=iters)
+    out, state, hist, dt = _run(spec)
+    rec = {"recipe": "denoise/snail (blind de-JPEG)", "image": "snail.jpg",
+           "size": f"{img.shape[1]}x{img.shape[0]}",
+           "loss_final": round(float(np.asarray(hist["loss"])[-1]), 6)}
+    rec["out"] = _save("snail_out.png", state.ema_out)
+    return rec, hist, dt, spec.cfg.num_iter
+
+
+def _inpaint(name, preset, iters):
+    from dip_tpu.tasks import inpaint
+    from dip_tpu.utils.image_io import hwc_to_nhwc
+
+    img = _load(f"{DATA}/inpainting/{name}.png", d=64)
+    mask = _load(f"{DATA}/inpainting/{name}_mask.png", d=64)
+    spec = inpaint.task(hwc_to_nhwc(img), hwc_to_nhwc(mask), preset=preset,
+                        gt=hwc_to_nhwc(img), num_iter=iters)
+    out, state, hist, dt = _run(spec)
+    rec = {"recipe": f"inpaint/{preset}", "image": f"{name}.png",
+           "size": f"{img.shape[1]}x{img.shape[0]}"}
+    rec.update(_stats(hist, "psnr_gt"))
+    rec["out"] = _save(f"{name}_inpaint.png", out)
+    return rec, hist, dt, spec.cfg.num_iter
+
+
+def recipe_kate(iters=None):
+    """inpainting.ipynb cell 14 'kate': text mask, 6001 iters — the README
+    convergence smoke test."""
+    return _inpaint("kate", "kate", iters)
+
+
+def recipe_vase(iters=None):
+    """inpainting.ipynb 'vase': meshgrid input, 5001 iters."""
+    return _inpaint("vase", "vase", iters)
+
+
+def recipe_library(iters=None):
+    """inpainting.ipynb 'library': deep 6-scale net + weight jitter, 3001."""
+    return _inpaint("library", "library", iters)
+
+
+def recipe_barbara(iters=None):
+    """restoration.ipynb cell 7: barbara, 50% pixels dropped, 11000 iters."""
+    from dip_tpu.tasks import restore
+    from dip_tpu.utils.image_io import hwc_to_nhwc
+    from dip_tpu.utils.masks import get_bernoulli_mask
+
+    img = _load(f"{DATA}/restoration/barbara.png", d=64)
+    mask = get_bernoulli_mask(img.shape, zero_fraction=0.5)
+    spec = restore.task(hwc_to_nhwc(img * mask), hwc_to_nhwc(mask),
+                        preset="barbara", num_iter=iters,
+                        gt=hwc_to_nhwc(img))
+    out, state, hist, dt = _run(spec)
+    rec = {"recipe": "restore/barbara 50%", "image": "barbara.png",
+           "size": f"{img.shape[1]}x{img.shape[0]}"}
+    rec.update(_stats(hist, "psnr_full"))
+    rec["out"] = _save("barbara_restore.png", out)
+    return rec, hist, dt, spec.cfg.num_iter
+
+
+def _zebra(factor, iters):
+    import jax
+
+    from dip_tpu.eval.sr_eval import psnr_y_bbox_protocol
+    from dip_tpu.tasks import super_resolve
+    from dip_tpu.tasks.base import run_task
+    from dip_tpu.utils.image_io import hwc_to_nhwc, nhwc_to_hwc
+
+    imgs = super_resolve.load_lr_hr(f"{DATA}/sr/zebra_GT.png", -1, factor,
+                                    "CROP")
+    bicubic, sharp, nearest = super_resolve.get_baselines(
+        imgs["LR_pil"], imgs["HR_pil"])
+    spec = super_resolve.task(hwc_to_nhwc(imgs["LR_np"]), factor=factor,
+                              hr_gt=hwc_to_nhwc(imgs["HR_np"]),
+                              num_iter=iters)
+    out, state, hist, dt = _run(spec)
+    pred = np.clip(nhwc_to_hwc(out), 0, 1)
+    hr = imgs["HR_np"]
+    rec = {"recipe": f"sr/x{factor} zebra", "image": "zebra_GT.png",
+           "size": f"{hr.shape[1]}x{hr.shape[0]}",
+           "psnr_y_protocol": round(psnr_y_bbox_protocol(hr, pred), 3),
+           "psnr_y_bicubic": round(psnr_y_bbox_protocol(hr, bicubic), 3),
+           "psnr_y_nearest": round(psnr_y_bbox_protocol(hr, nearest), 3)}
+    rec.update(_stats(hist, "psnr_hr"))
+    rec["out"] = _save(f"zebra_x{factor}.png", out)
+    return rec, hist, dt, spec.cfg.num_iter
+
+
+def recipe_zebra4(iters=None):
+    """super-resolution.ipynb: zebra x4, 2000 iters, PSNR-Y bbox protocol."""
+    return _zebra(4, iters)
+
+
+def recipe_zebra8(iters=None):
+    """super-resolution.ipynb: zebra x8, 4000 iters."""
+    return _zebra(8, iters)
+
+
+def recipe_flash(iters=None):
+    """flash-no-flash.ipynb: cave pair, 601 iters, LR 0.1."""
+    from dip_tpu.tasks import flash_no_flash
+    from dip_tpu.utils.image_io import hwc_to_nhwc
+
+    flash = _load(f"{DATA}/flash_no_flash/cave01_00_flash.jpg")
+    noflash = _load(f"{DATA}/flash_no_flash/cave01_01_noflash.jpg")
+    spec = flash_no_flash.task(hwc_to_nhwc(flash), hwc_to_nhwc(noflash),
+                               num_iter=iters or 601)
+    out, state, hist, dt = _run(spec)
+    rec = {"recipe": "flash_no_flash/cave", "image": "cave01 pair",
+           "size": f"{flash.shape[1]}x{flash.shape[0]}",
+           "loss_final": round(float(np.asarray(hist["loss"])[-1]), 6)}
+    rec["out"] = _save("cave_out.png", out)
+    return rec, hist, dt, spec.cfg.num_iter
+
+
+RECIPES = {
+    "f16": recipe_f16,
+    "snail": recipe_snail,
+    "kate": recipe_kate,
+    "vase": recipe_vase,
+    "library": recipe_library,
+    "barbara": recipe_barbara,
+    "zebra4": recipe_zebra4,
+    "zebra8": recipe_zebra8,
+    "flash": recipe_flash,
+}
+
+
+def main(argv=None):
+    from dip_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
+    p = argparse.ArgumentParser()
+    p.add_argument("--only", default=None,
+                   help="comma-separated subset of " + ",".join(RECIPES))
+    p.add_argument("--quick", action="store_true",
+                   help="20-iter smoke run of every recipe")
+    args = p.parse_args(argv)
+
+    names = list(RECIPES) if not args.only else args.only.split(",")
+    os.makedirs(OUTDIR, exist_ok=True)
+    log = os.path.join(OUTDIR, "reproduce.jsonl")
+    for name in names:
+        print(f"=== {name} ===", flush=True)
+        rec, hist, dt, iters = RECIPES[name](20 if args.quick else None)
+        rec.update({"iters": int(iters), "seconds": round(dt, 1),
+                    "it_per_s": round(iters / dt, 2),
+                    "quick": bool(args.quick)})
+        with open(log, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        print(json.dumps(rec), flush=True)
+
+
+if __name__ == "__main__":
+    main()
