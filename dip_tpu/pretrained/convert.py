@@ -41,16 +41,29 @@ def _to_flax_leaf(name: str, w: np.ndarray) -> tuple[str, np.ndarray]:
     return "bias", w
 
 
+def _detect_vgg_layout(state: Mapping[str, object]) -> dict:
+    """VGG16 and VGG19 torchvision layouts share feature indices 0-16 but
+    diverge above (16/25/30/32/34 are VGG19-only; 17 is VGG16-only), so the
+    index set identifies the architecture."""
+    idxs = {int(k.split(".")[1]) for k in state
+            if k.startswith("features.") and k.split(".")[1].isdigit()}
+    if idxs & {16, 25, 30, 32, 34}:
+        return _VGG19_IDX
+    if 17 in idxs:
+        return _VGG16_IDX
+    return _VGG19_IDX  # indices <= 14 are identical in both
+
+
 def convert_torch_state_dict(state: Mapping[str, "np.ndarray"]) -> dict:
     """Convert a torch state dict (tensor or ndarray values) with caffe-style
     or torchvision-style keys into a flax params dict keyed by layer name."""
     params: dict[str, dict[str, np.ndarray]] = {}
+    vgg_idx = _detect_vgg_layout(state)
     for key, val in state.items():
         arr = np.asarray(val.detach().cpu().numpy() if hasattr(val, "detach") else val)
         parts = key.split(".")
         if parts[0] == "features" and len(parts) == 3:
-            idx = int(parts[1])
-            name = _VGG19_IDX.get(idx) or _VGG16_IDX.get(idx)
+            name = vgg_idx.get(int(parts[1]))
             if name is None:
                 continue
         elif parts[0] == "classifier" and len(parts) == 3:
