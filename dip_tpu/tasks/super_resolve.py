@@ -15,8 +15,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 import numpy as np
-import PIL
-from PIL import Image
+from PIL import Image, ImageFilter
 
 from dip_tpu.fit.engine import FitConfig
 from dip_tpu.models import Skip
@@ -62,7 +61,7 @@ def get_baselines(img_lr_pil: Image.Image, img_hr_pil: Image.Image):
     (utils/sr_utils.py:69-80)."""
     bicubic = img_lr_pil.resize(img_hr_pil.size, Image.BICUBIC)
     nearest = img_lr_pil.resize(img_hr_pil.size, Image.NEAREST)
-    sharp = bicubic.filter(PIL.ImageFilter.UnsharpMask())
+    sharp = bicubic.filter(ImageFilter.UnsharpMask())
     return pil_to_np(bicubic), pil_to_np(sharp), pil_to_np(nearest)
 
 

@@ -136,3 +136,18 @@ def test_sr_learnable_downsampler():
     final_k = state.params["down"]["kernel"]
     assert float(jnp.abs(final_k - init_k).max()) > 0
     assert hist["loss"][-1] < hist["loss"][0]
+
+
+def test_sr_get_baselines():
+    """bicubic / unsharp / nearest baselines (regression: PIL.ImageFilter
+    submodule import crashed the zebra reproduction run)."""
+    from PIL import Image
+
+    from dip_tpu.tasks.super_resolve import get_baselines
+
+    lr = Image.fromarray(np.full((16, 16, 3), 128, np.uint8))
+    hr = Image.fromarray(np.full((64, 64, 3), 128, np.uint8))
+    bic, sharp, near = get_baselines(lr, hr)
+    for b in (bic, sharp, near):
+        assert b.shape == (64, 64, 3)
+        assert np.isfinite(b).all()
