@@ -49,14 +49,23 @@ class BatchEngine:
         self.axis = axis
         self._chunk_jit = None
 
-    def init_state(self, keys: jax.Array, zs: jax.Array, auxs: Any = None) -> FitState:
+    def init_state(self, keys: jax.Array, zs: jax.Array, auxs: Any = None,
+                   extra_params: Any = None) -> FitState:
+        """`extra_params`: optional batched pytree of additional trainable
+        leaves (leading axis = batch), e.g. one learnable downsampler kernel
+        per image — same contract as Engine.init_state's extra_params."""
         if self.mesh is not None:
             n = self.mesh.devices.size
             assert keys.shape[0] % n == 0, (
                 f"batch {keys.shape[0]} must divide by mesh size {n}"
             )
-        init = jax.jit(jax.vmap(lambda k, z: self.engine.init_state(k, z)))
-        state = unalias(init(keys, zs))
+        if extra_params is None:
+            init = jax.jit(jax.vmap(lambda k, z: self.engine.init_state(k, z)))
+            state = unalias(init(keys, zs))
+        else:
+            init = jax.jit(jax.vmap(
+                lambda k, z, e: self.engine.init_state(k, z, extra_params=e)))
+            state = unalias(init(keys, zs, extra_params))
         if self.mesh is not None:
             state = shard_batch(state, self.mesh, self.axis)
         return state

@@ -86,6 +86,34 @@ def test_ema_initialized_to_first_output():
     assert not np.allclose(np.asarray(state2.ema_out), 0)
 
 
+def test_ema_exact_recurrence():
+    """ema_t = w*ema_{t-1} + (1-w)*out_t with ema_0 = out_0, verified
+    numerically over 3 steps (denoising.ipynb cell 10 semantics)."""
+    target = _toy_image(16, 16)
+    w = 0.9
+    cfg = FitConfig(num_iter=3, lr=0.01, exp_weight=w, log_every=3,
+                    reg_noise_std=0.2)  # jitter makes out_t vary per step
+
+    def metrics_fn(out, ema, aux):
+        # mean is linear, so the EMA recurrence holds exactly on means
+        return {"m_out": jnp.mean(out), "m_ema": jnp.mean(ema)}
+
+    model = Skip(num_channels_down=[8], num_channels_up=[8],
+                 num_channels_skip=[2])
+    z = get_noise(jax.random.key(1), 4, "noise", (16, 16))
+    _, _, hist = fit(model, lambda p, o, a: mse(o, a), cfg,
+                     jax.random.key(0), z, aux=target, metrics_fn=metrics_fn)
+    m_out = np.asarray(hist["m_out"], np.float64)
+    m_ema = np.asarray(hist["m_ema"], np.float64)
+    np.testing.assert_allclose(m_ema[0], m_out[0], rtol=1e-5)
+    np.testing.assert_allclose(m_ema[1], w * m_ema[0] + (1 - w) * m_out[1],
+                               rtol=1e-5)
+    np.testing.assert_allclose(m_ema[2], w * m_ema[1] + (1 - w) * m_out[2],
+                               rtol=1e-5)
+    # and the steps genuinely differ (jitter applied), so this isn't vacuous
+    assert abs(m_out[1] - m_out[0]) > 0
+
+
 def test_backtracking_restores_snapshot():
     target = _toy_image()
     cfg = FitConfig(num_iter=50, lr=0.01, backtrack=True, log_every=25)
@@ -175,5 +203,26 @@ def test_reg_noise_schedule():
         model, lambda p, o, a: mse(o, a), cfg, jax.random.key(0), z, aux=target
     )
     assert np.isfinite(hist["loss"]).all()
-    # big early jitter makes early losses noisier than late ones
-    assert hist["loss"][:4].std() > 0
+
+
+def test_reg_noise_schedule_applied_stds():
+    """The schedule's std is actually applied per stage: with the Identity
+    net (out == z_used) the per-step deviation from the base z measures the
+    injected jitter directly."""
+    base = get_noise(jax.random.key(1), 3, "noise", (64, 64), var=0.5)
+    cfg = FitConfig(num_iter=12, lr=0.0, log_every=12,
+                    reg_noise_std=0.01,
+                    reg_noise_schedule=((4, 0.5), (8, 0.1)))
+
+    def metrics_fn(out, ema, aux):
+        return {"jitter_std": jnp.std(out - aux)}
+
+    _, _, hist = fit(Identity(), lambda p, o, a: mse(o, a) * 0.0, cfg,
+                     jax.random.key(0), base, aux=base,
+                     metrics_fn=metrics_fn)
+    stds = np.asarray(hist["jitter_std"])
+    # stage 1 (steps 0-3): std 0.5; stage 2 (4-7): 0.1; past the schedule:
+    # fall back to reg_noise_std = 0.01. N=64*64*3 samples -> tight estimate.
+    np.testing.assert_allclose(stds[:4], 0.5, rtol=0.05)
+    np.testing.assert_allclose(stds[4:8], 0.1, rtol=0.05)
+    np.testing.assert_allclose(stds[8:], 0.01, rtol=0.05)
