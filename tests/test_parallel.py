@@ -72,6 +72,46 @@ def test_batch_engine_extra_params():
     assert gains[0] != gains[1]         # independently per image
 
 
+def test_fit_queue_single_device():
+    """Round-robin multi-fit scheduling on one device: every job converges
+    to its own target, histories are full-length, and jobs with identical
+    configs share one Engine (one compiled program)."""
+    from dip_tpu.fit.engine import FitConfig
+    from dip_tpu.parallel.queue import FitQueue
+    from dip_tpu.tasks.base import TaskSpec
+
+    s = 16
+    model = Skip(num_channels_down=[8], num_channels_up=[8],
+                 num_channels_skip=[2])
+    cfg = FitConfig(num_iter=40, lr=0.02, log_every=20)
+    loss_fn = lambda p, o, a: mse(o, a)  # noqa: E731
+
+    def spec(level):
+        return TaskSpec(
+            name=f"const{level}", model=model, cfg=cfg, loss_fn=loss_fn,
+            aux=jnp.full((1, s, s, 3), level),
+            metrics_fn=lambda o, e, a: {"psnr_track": psnr(o, a)},
+            input_depth=4, spatial_size=(s, s),
+        )
+
+    seen = []
+    q = FitQueue(callback=lambda name, it, hist: seen.append((name, it)))
+    q.add(spec(0.25), jax.random.key(0), name="a")
+    q.add(spec(0.75), jax.random.key(1), name="b")
+    assert len(q._engines) == 1  # identical jobs share one compiled engine
+    res = q.run()
+
+    out_a, _, hist_a = res["a"]
+    out_b, _, hist_b = res["b"]
+    assert hist_a["loss"].shape == (40,)
+    assert hist_a["loss"][-1] < hist_a["loss"][0]
+    assert hist_b["loss"][-1] < hist_b["loss"][0]
+    assert abs(np.asarray(out_a).mean() - 0.25) < 0.15
+    assert abs(np.asarray(out_b).mean() - 0.75) < 0.15
+    # callbacks interleave: a@20, b@20, a@40, b@40
+    assert seen == [("a", 20), ("b", 20), ("a", 40), ("b", 40)]
+
+
 @pytest.mark.slow
 def test_mesh_sharded_dryrun_subprocess():
     """Run the driver's dryrun_multichip(8) on a fake 8-device CPU backend in

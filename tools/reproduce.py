@@ -241,15 +241,32 @@ def main(argv=None):
     names = list(RECIPES) if not args.only else args.only.split(",")
     os.makedirs(OUTDIR, exist_ok=True)
     log = os.path.join(OUTDIR, "reproduce.jsonl")
+    failures = []
     for name in names:
         print(f"=== {name} ===", flush=True)
-        rec, hist, dt, iters = RECIPES[name](20 if args.quick else None)
+        # the tunneled TPU backend has sporadic RPC failures: retry once,
+        # and never let one recipe kill the whole sweep
+        for attempt in (1, 2):
+            try:
+                rec, hist, dt, iters = RECIPES[name](20 if args.quick else None)
+                break
+            except Exception as e:  # noqa: BLE001
+                print(f"attempt {attempt} failed: {e!r}", flush=True)
+                if attempt == 2:
+                    failures.append(name)
+                    rec = None
+                time.sleep(30)
+        if rec is None:
+            continue
         rec.update({"iters": int(iters), "seconds": round(dt, 1),
                     "it_per_s": round(iters / dt, 2),
                     "quick": bool(args.quick)})
         with open(log, "a") as f:
             f.write(json.dumps(rec) + "\n")
         print(json.dumps(rec), flush=True)
+    if failures:
+        print(f"FAILED recipes: {failures}", flush=True)
+        raise SystemExit(1)
 
 
 if __name__ == "__main__":
