@@ -18,6 +18,7 @@ reference regardless of GPU speed).
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import time
@@ -86,11 +87,11 @@ def run_bench(size: int = 512, iters: int = 100, batch: int = 1,
             jax.block_until_ready(state.params)
             dt = min(dt, time.perf_counter() - t0)
         total_iters = iters
-    else:
+    elif len(jax.devices()) > 1:
         from dip_tpu.parallel.batch import BatchEngine
         from dip_tpu.parallel.mesh import make_mesh
 
-        mesh = make_mesh() if len(jax.devices()) > 1 else None
+        mesh = make_mesh()
         beng = BatchEngine(model, loss_fn, cfg, metrics_fn, mesh=mesh)
         keys = jax.random.split(jax.random.key(0), batch)
         zs = jax.vmap(lambda k: get_noise(k, 32, "noise", (size, size)))(keys)
@@ -106,6 +107,29 @@ def run_bench(size: int = 512, iters: int = 100, batch: int = 1,
         jax.block_until_ready(state.params)
         dt = time.perf_counter() - t0
         total_iters = iters * batch  # independent image-iterations
+    else:
+        # single chip, many images: pipeline independent fits (FitQueue)
+        # rather than vmap-folding nets into grouped convs (~14x tax)
+        from dip_tpu.parallel.queue import FitQueue
+        from dip_tpu.tasks.base import TaskSpec
+
+        def make_queue(n_iters):
+            q = FitQueue()
+            for i in range(batch):
+                spec = TaskSpec(
+                    name=f"img{i}", model=model,
+                    cfg=dataclasses.replace(cfg, num_iter=n_iters,
+                                            log_every=n_iters),
+                    loss_fn=loss_fn, aux=target, metrics_fn=metrics_fn,
+                    input_depth=32, spatial_size=(size, size))
+                q.add(spec, jax.random.key(i))
+            return q
+
+        make_queue(warmup_iters).run()  # compile + warm
+        t0 = time.perf_counter()
+        make_queue(iters).run()
+        dt = time.perf_counter() - t0
+        total_iters = iters * batch
 
     ips = total_iters / dt
     baseline = measured_torch_baseline()
