@@ -72,7 +72,8 @@ def cmd_fit(args):
         spec = super_resolve.task(hwc_to_nhwc(imgs["LR_np"]),
                                   factor=args.factor,
                                   hr_gt=hwc_to_nhwc(imgs["HR_np"]),
-                                  num_iter=args.num_iter)
+                                  num_iter=args.num_iter,
+                                  resample_impl=args.resample_impl)
     elif args.task == "flash_no_flash":
         flash = _load(args.image)
         noflash = _load(args.mask)  # --mask doubles as the second input
@@ -180,6 +181,9 @@ def main(argv=None):
     f.add_argument("--sigma", type=float, default=25.0,
                    help="denoise: noise std in [0,255]; 0 = image already noisy")
     f.add_argument("--factor", type=int, default=4)
+    f.add_argument("--resample-impl", default="xla",
+                   choices=["xla", "pallas"],
+                   help="sr: in-graph downsampler implementation")
     f.add_argument("--num-iter", type=int, default=None)
     f.add_argument("--log-every", type=int, default=None,
                    help="scan chunk size between host callbacks")

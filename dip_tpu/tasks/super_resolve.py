@@ -86,6 +86,7 @@ def task(
     reg_noise_std: float | None = None,
     learnable_downsampler: bool = False,
     net: str = "skip",
+    resample_impl: str = "xla",
 ) -> TaskSpec:
     """Build the SR TaskSpec. HR size = LR size * factor.
 
@@ -139,10 +140,19 @@ def task(
 
         def degrade(p, out_hr):
             return down_mod.apply({"params": p["down"]}, out_hr)
-    else:
+    elif resample_impl == "pallas":
+        # the fused Pallas kernel (ops/pallas_resample.py) — same numerics,
+        # custom VJP; falls back to XLA on geometries it doesn't support
+        from dip_tpu.ops.pallas_resample import downsample_fused
+
+        def degrade(p, out_hr):
+            return downsample_fused(out_hr, factor, kernel_type, 0.5, True)
+    elif resample_impl == "xla":
         def degrade(p, out_hr):
             return downsample(out_hr, factor, kernel_type=kernel_type,
                               phase=0.5, preserve_size=True)
+    else:
+        raise ValueError(f"unknown resample_impl {resample_impl!r}")
 
     def loss_fn(p, out_hr, aux):
         out_lr = degrade(p, out_hr)

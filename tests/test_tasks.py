@@ -151,3 +151,19 @@ def test_sr_get_baselines():
     for b in (bic, sharp, near):
         assert b.shape == (64, 64, 3)
         assert np.isfinite(b).all()
+
+
+def test_sr_resample_impl_flag():
+    """resample_impl='pallas' builds a spec wired to the fused kernel;
+    unknown impls are rejected."""
+    import pytest as _pytest
+
+    from dip_tpu.tasks import super_resolve
+
+    lr_img = jnp.asarray(np.random.default_rng(0).random((1, 8, 8, 3)),
+                         jnp.float32)
+    spec = super_resolve.task(lr_img, factor=4, resample_impl="pallas",
+                              num_iter=5)
+    assert spec.name == "sr/x4"
+    with _pytest.raises(ValueError):
+        super_resolve.task(lr_img, factor=4, resample_impl="cuda")
