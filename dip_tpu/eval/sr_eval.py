@@ -88,3 +88,67 @@ def eval_sr_dataset(
             print(f"{name}: {score:.3f} dB")
     result.mean_psnr_y = float(np.mean(psnrs)) if psnrs else 0.0
     return result
+
+
+def eval_sr_dataset_sharded(
+    image_dir: str,
+    mesh,
+    factor: int = 4,
+    num_iter: int | None = None,
+    seed: int = 0,
+    verbose: bool = True,
+) -> SrEvalResult:
+    """Fleet evaluation: one DIP fit per device over a sharded image list.
+
+    Images are grouped by (cropped) HR shape; each same-shape group runs as
+    ONE BatchEngine program with the image axis sharded over the mesh's
+    'data' axis — N images cost the wall-clock of one (SURVEY.md §5
+    distributed row; the capability BASELINE.md's '8 images concurrently'
+    promises). Groups are padded to the mesh size by repeating the last
+    image (padding scores are discarded).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from dip_tpu.parallel.batch import BatchEngine
+    from dip_tpu.tasks.base import make_input
+
+    paths = sorted(glob.glob(os.path.join(image_dir, "*")))
+    n_dev = int(np.prod([mesh.devices.size])) if mesh is not None else 1
+
+    groups: dict[tuple, list] = {}
+    for path in paths:
+        imgs = super_resolve.load_lr_hr(path, -1, factor, "CROP")
+        groups.setdefault(imgs["LR_np"].shape, []).append((path, imgs))
+
+    result = SrEvalResult()
+    psnrs = []
+    for shape, items in groups.items():
+        names = [os.path.splitext(os.path.basename(p))[0] for p, _ in items]
+        n_real = len(items)
+        while len(items) % max(n_dev, 1):
+            items = items + [items[-1]]  # pad to mesh size
+        spec = super_resolve.task(
+            hwc_to_nhwc(items[0][1]["LR_np"]), factor=factor,
+            num_iter=num_iter)
+        beng = BatchEngine(spec.model, spec.loss_fn, spec.cfg,
+                           spec.metrics_fn, mesh=mesh)
+        keys = jax.random.split(jax.random.key(seed), len(items))
+        zs = jnp.stack([
+            make_input(spec, k) for k in jax.random.split(
+                jax.random.key(seed + 1), len(items))
+        ])
+        auxs = {"lr": jnp.stack([
+            hwc_to_nhwc(im["LR_np"]) for _, im in items])}
+        state = beng.init_state(keys, zs)
+        state, _ = beng.run(state, auxs)
+        outs = np.asarray(beng.render(state))  # (b, 1, H, W, C)
+        for i in range(n_real):
+            pred = np.clip(nhwc_to_hwc(outs[i]), 0, 1)
+            score = psnr_y_bbox_protocol(items[i][1]["HR_np"], pred)
+            result.per_image[names[i]] = score
+            psnrs.append(score)
+            if verbose:
+                print(f"{names[i]}: {score:.3f} dB")
+    result.mean_psnr_y = float(np.mean(psnrs)) if psnrs else 0.0
+    return result

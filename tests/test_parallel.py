@@ -136,6 +136,46 @@ def test_mesh_sharded_dryrun_subprocess():
 
 
 @pytest.mark.slow
+def test_sharded_eval_sweep_subprocess(tmp_path):
+    """Fleet SR eval: 8 images, one per virtual device, as one BatchEngine
+    program sharded over the 8-device CPU mesh (the BASELINE.md '8 images
+    concurrently' capability)."""
+    import numpy as np
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    for i in range(8):
+        img = rng.uniform(0.2, 0.8, (64, 64, 3))
+        yy, xx = np.mgrid[0:64, 0:64] / 64
+        img = (img * 0.2 + 0.8 * np.stack(
+            [np.sin(xx * (3 + i)) * 0.5 + 0.5, yy, xx], -1)).clip(0, 1)
+        Image.fromarray((img * 255).astype(np.uint8)).save(
+            tmp_path / f"img{i}.png")
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "import numpy as np;"
+        "from dip_tpu.parallel.mesh import make_mesh;"
+        "from dip_tpu.eval.sr_eval import eval_sr_dataset_sharded;"
+        f"res = eval_sr_dataset_sharded({str(tmp_path)!r}, make_mesh(),"
+        "       factor=4, num_iter=12, verbose=False);"
+        "assert len(res.per_image) == 8, res.per_image;"
+        "assert all(np.isfinite(v) for v in res.per_image.values());"
+        "print('OK', round(res.mean_psnr_y, 2))"
+    )
+    res = subprocess.run(
+        [sys.executable, "-c", code],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env, capture_output=True, text=True, timeout=1200,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "OK" in res.stdout
+
+
+@pytest.mark.slow
 def test_spatial_sharding_subprocess():
     """One image fit with H sharded over 8 virtual CPU devices: XLA SPMD
     inserts conv halo exchanges; loss must decrease."""

@@ -1,0 +1,214 @@
+"""Train the AlexNet backbone to nontrivial accuracy, export a real torch
+checkpoint, and demonstrate feature inversion from *trained* features.
+
+Zero-egress makes the reference's pretrained downloads impossible
+(utils/feature_inversion_utils.py:17-34), so round 1 ran the backbones
+random-init. This closes the gap end-to-end, all offline:
+
+ 1. train dip_tpu's flax AlexNet on a 10-class procedural-image task
+    (oriented gratings x color palettes) until held-out accuracy is high;
+ 2. export the weights as a torch state dict in the caffe key layout of the
+    reference's alexnet checkpoint ('conv1.weight' ... 'fc8.bias') via
+    torch.save — a genuine .pth file;
+ 3. reload it through pretrained/convert.py (the product path) and run
+    feature inversion of a held-out image's fc6 features with the standard
+    recipe — proving the whole pretrained stack (converter -> tapped
+    backbone -> matcher -> inversion) works on trained weights.
+
+    python tools/train_backbone.py --steps 400        # full
+    python tools/train_backbone.py --steps 20 --quick # smoke
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+OUTDIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                      "results")
+CKPT = os.path.join(OUTDIR, "alexnet_trained.pth")
+N_CLASSES = 10
+IMSIZE = 227
+
+
+# --------------------------------------------------------------------------
+# procedural dataset: class = (orientation bucket, palette) combination
+# --------------------------------------------------------------------------
+
+def make_batch(rng: np.random.Generator, n: int, imsize: int = IMSIZE):
+    """Oriented sinusoidal gratings in one of 5 orientations x 2 palettes."""
+    xs = np.empty((n, imsize, imsize, 3), np.float32)
+    ys = rng.integers(0, N_CLASSES, size=n)
+    yy, xx = np.mgrid[0:imsize, 0:imsize].astype(np.float32) / imsize
+    for i, label in enumerate(ys):
+        ori = (label % 5) * np.pi / 5 + rng.normal(0, 0.06)
+        freq = rng.uniform(6, 14)
+        phase = rng.uniform(0, 2 * np.pi)
+        g = np.sin(2 * np.pi * freq * (np.cos(ori) * xx + np.sin(ori) * yy)
+                   + phase) * 0.5 + 0.5
+        if label < 5:
+            img = np.stack([g, 1 - g, np.full_like(g, 0.5)], -1)
+        else:
+            img = np.stack([np.full_like(g, 0.5), g, 1 - g], -1)
+        img += rng.normal(0, 0.05, img.shape)
+        xs[i] = np.clip(img, 0, 1)
+    return xs, ys.astype(np.int32)
+
+
+# --------------------------------------------------------------------------
+# training
+# --------------------------------------------------------------------------
+
+def train(steps: int, batch: int, lr: float, seed: int = 0):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from dip_tpu.pretrained.backbones import AlexNet, vgg_preprocess_caffe
+
+    model = AlexNet()
+    rng = np.random.default_rng(seed)
+    x0, _ = make_batch(rng, batch)
+    variables = jax.jit(
+        lambda k, x: model.init(k, x, taps=("fc8",))
+    )(jax.random.key(seed), vgg_preprocess_caffe(jnp.asarray(x0)))
+    params = variables["params"]
+    tx = optax.adam(lr)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, x, y):
+        def loss_fn(p):
+            logits = model.apply({"params": p}, vgg_preprocess_caffe(x),
+                                 taps=("fc8",))["fc8"][:, :N_CLASSES]
+            loss = optax.softmax_cross_entropy_with_integer_labels(
+                logits, y).mean()
+            acc = (logits.argmax(-1) == y).mean()
+            return loss, acc
+
+        (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss, acc
+
+    t0 = time.time()
+    for i in range(steps):
+        x, y = make_batch(rng, batch)
+        params, opt_state, loss, acc = step(params, opt_state,
+                                            jnp.asarray(x), jnp.asarray(y))
+        if i % 20 == 0 or i == steps - 1:
+            print(f"step {i:4d}  loss {float(loss):.4f}  acc {float(acc):.3f}",
+                  flush=True)
+
+    # held-out accuracy
+    rng_ev = np.random.default_rng(seed + 1)
+    xe, ye = make_batch(rng_ev, 64)
+
+    @jax.jit
+    def infer(params, x):
+        return model.apply({"params": params}, vgg_preprocess_caffe(x),
+                           taps=("fc8",))["fc8"][:, :N_CLASSES].argmax(-1)
+
+    pred = np.asarray(infer(params, jnp.asarray(xe)))
+    test_acc = float((pred == ye).mean())
+    print(f"held-out accuracy: {test_acc:.3f}  ({time.time()-t0:.0f}s)",
+          flush=True)
+    return params, test_acc
+
+
+# --------------------------------------------------------------------------
+# export: flax params -> caffe-layout torch state dict (.pth)
+# --------------------------------------------------------------------------
+
+def export_torch(params, path: str):
+    import torch
+
+    state = {}
+    for name, leaves in params.items():
+        k = np.asarray(leaves["kernel"])
+        if k.ndim == 4:   # HWIO -> OIHW
+            state[f"{name}.weight"] = torch.from_numpy(
+                k.transpose(3, 2, 0, 1).copy())
+        else:             # (in, out) -> (out, in)
+            state[f"{name}.weight"] = torch.from_numpy(k.T.copy())
+        state[f"{name}.bias"] = torch.from_numpy(np.asarray(leaves["bias"]))
+    torch.save(state, path)
+    print(f"exported {path} ({len(state)} tensors)", flush=True)
+
+
+# --------------------------------------------------------------------------
+# feature inversion from trained weights (the product path end-to-end)
+# --------------------------------------------------------------------------
+
+def run_inversion(weights_path: str, num_iter: int, layers=("fc6",),
+                  content_path: str | None = None):
+    import jax
+
+    from dip_tpu.tasks.base import run_task
+    from dip_tpu.tasks.feature_inversion import FeatureInversion
+    from dip_tpu.utils.image_io import nhwc_to_hwc, save_image
+
+    if content_path:
+        from dip_tpu.utils.image_io import load_image, pil_to_np
+
+        content = pil_to_np(load_image(content_path).resize((IMSIZE, IMSIZE)))
+    else:  # held-out procedural image
+        content, _ = make_batch(np.random.default_rng(99), 1)
+        content = content[0]
+
+    fi = FeatureInversion(backbone="alexnet_caffe", layers=tuple(layers),
+                          weights_path=weights_path, num_iter=num_iter)
+    spec = fi.spec(content[None])
+
+    losses = []
+    out, state, hist = run_task(
+        spec, jax.random.key(0),
+        callback=lambda it, h, s: (
+            losses.append(float(h["loss"][-1])),
+            print(f"  iter {it:5d}  loss {h['loss'][-1]:.4f}", flush=True)),
+    )
+    os.makedirs(OUTDIR, exist_ok=True)
+    save_image(os.path.join(OUTDIR, "fi_trained_content.png"),
+               np.clip(content, 0, 1))
+    save_image(os.path.join(OUTDIR, "fi_trained_inversion.png"),
+               np.clip(nhwc_to_hwc(out), 0, 1))
+    return float(hist["loss"][0]), float(hist["loss"][-1])
+
+
+def main(argv=None):
+    from dip_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=400)
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--fi-iters", type=int, default=3100)
+    p.add_argument("--quick", action="store_true")
+    p.add_argument("--content", default=None,
+                   help="image to invert (default: held-out procedural)")
+    args = p.parse_args(argv)
+    if args.quick:
+        args.fi_iters = min(args.fi_iters, 60)
+
+    params, test_acc = train(args.steps, args.batch, args.lr)
+    os.makedirs(OUTDIR, exist_ok=True)
+    export_torch(params, CKPT)
+    loss0, loss1 = run_inversion(CKPT, args.fi_iters,
+                                 content_path=args.content)
+    rec = {"recipe": "feature_inversion/trained-alexnet fc6",
+           "backbone_test_acc": round(test_acc, 3),
+           "train_steps": args.steps,
+           "fi_iters": args.fi_iters,
+           "fi_loss_first": round(loss0, 4), "fi_loss_final": round(loss1, 4),
+           "ckpt": CKPT, "quick": args.quick}
+    with open(os.path.join(OUTDIR, "reproduce.jsonl"), "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(json.dumps(rec), flush=True)
+
+
+if __name__ == "__main__":
+    main()
