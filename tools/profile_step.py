@@ -1,0 +1,121 @@
+"""Ablation profile of the 512^2 flagship fit step.
+
+Times scanned-chunk variants of the denoising step to attribute the iteration
+budget: full step, no-metrics, no-jitter/EMA, forward-only, forward+grad,
+upsample modes, and bf16 compute. Ablation timing is the robust way to
+profile through the tunneled backend (trace files need TensorBoard; sporadic
+RPC stalls corrupt single measurements — every number is best-of-3).
+
+    python tools/profile_step.py [--size 512] [--iters 50]
+
+Appends a JSON line per variant to results/profile.jsonl.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import time
+
+import numpy as np
+
+OUTDIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                      "results")
+
+
+def _target(size):
+    rng = np.random.default_rng(0)
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
+    clean = np.stack([np.sin(xx / 23) * 0.5 + 0.5,
+                      np.cos(yy / 17) * 0.5 + 0.5,
+                      (xx + yy) / (2 * size)], axis=-1)
+    return np.clip(clean + rng.normal(scale=0.1, size=clean.shape), 0, 1)
+
+
+def time_variant(name, size, iters, *, upsample="bilinear", metrics=True,
+                 jitter=True, ema=True, compute_dtype=None, grad=True,
+                 optimizer=True):
+    import jax
+    import jax.numpy as jnp
+
+    from dip_tpu.fit.engine import Engine, FitConfig, default_metrics
+    from dip_tpu.models import Skip
+    from dip_tpu.ops.losses import mse
+    from dip_tpu.utils.noise import get_noise
+
+    target = jnp.asarray(_target(size)[None])
+    model = Skip(num_channels_down=[128] * 5, num_channels_up=[128] * 5,
+                 num_channels_skip=[4] * 5, upsample_mode=upsample,
+                 pad="reflection")
+    cfg = FitConfig(num_iter=iters, lr=0.01,
+                    reg_noise_std=(1.0 / 30 if jitter else 0.0),
+                    exp_weight=(0.99 if ema else None),
+                    compute_dtype=compute_dtype, log_every=iters)
+    eng = Engine(model, lambda p, o, a: mse(o, a), cfg,
+                 default_metrics(target) if metrics else None)
+    z = get_noise(jax.random.key(1), 32, "noise", (size, size))
+    state = eng.init_state(jax.random.key(0), z)
+
+    if grad:
+        def chunk_fn(s):
+            return eng.run_chunk(s, target, iters)
+    else:
+        # forward-only scan: same shapes/rng traffic, no backward
+        def chunk_fn(s):
+            def body(c, _):
+                key, k_jit, k_gen = jax.random.split(c.key, 3)
+                zu = c.z + cfg.reg_noise_std * jax.random.normal(
+                    k_jit, c.z.shape, c.z.dtype)
+                out = eng._forward(c.params, zu, k_gen, None)
+                return c._replace(key=key), jnp.mean(out)
+            return jax.lax.scan(body, s, None, length=iters)
+
+    chunk = jax.jit(chunk_fn)
+    state2, _ = chunk(state)  # compile + warm
+    jax.block_until_ready(jax.tree_util.tree_leaves(state2)[0])
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = chunk(state)
+        jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+        dt = min(dt, time.perf_counter() - t0)
+    ips = iters / dt
+    rec = {"variant": name, "size": size, "iters": iters,
+           "it_per_s": round(ips, 2), "ms_per_iter": round(1000 * dt / iters, 2)}
+    print(json.dumps(rec), flush=True)
+    os.makedirs(OUTDIR, exist_ok=True)
+    with open(os.path.join(OUTDIR, "profile.jsonl"), "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    return rec
+
+
+VARIANTS = {
+    "full": {},
+    "no_metrics": {"metrics": False},
+    "no_jitter_no_ema": {"jitter": False, "ema": False},
+    "fwd_grad_only": {"metrics": False, "jitter": False, "ema": False},
+    "fwd_only": {"grad": False, "metrics": False, "ema": False},
+    "nearest_up": {"upsample": "nearest"},
+    "bf16_full": {"compute_dtype": "bfloat16"},
+    "bf16_nearest": {"compute_dtype": "bfloat16", "upsample": "nearest"},
+}
+
+
+def main(argv=None):
+    from dip_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
+    p = argparse.ArgumentParser()
+    p.add_argument("--size", type=int, default=512)
+    p.add_argument("--iters", type=int, default=50)
+    p.add_argument("--only", default=None)
+    args = p.parse_args(argv)
+    names = args.only.split(",") if args.only else list(VARIANTS)
+    for name in names:
+        time_variant(name, args.size, args.iters, **VARIANTS[name])
+
+
+if __name__ == "__main__":
+    main()
