@@ -37,15 +37,25 @@ def _save(name, arr_nhwc):
     from dip_tpu.utils.image_io import nhwc_to_hwc, save_image
 
     os.makedirs(OUTDIR, exist_ok=True)
+    if COMPUTE_DTYPE:  # don't clobber the f32 reference outputs
+        name = f"{COMPUTE_DTYPE}_{name}"
     path = os.path.join(OUTDIR, name)
     save_image(path, np.clip(nhwc_to_hwc(arr_nhwc), 0, 1))
     return path
+
+
+COMPUTE_DTYPE = None  # set by --compute-dtype for bf16 quality validation
 
 
 def _run(spec, seed=0):
     import jax
 
     from dip_tpu.tasks.base import run_task
+
+    if COMPUTE_DTYPE:
+        import dataclasses
+
+        spec.cfg = dataclasses.replace(spec.cfg, compute_dtype=COMPUTE_DTYPE)
 
     def cb(it, hist, state):
         msg = f"  iter {it:5d}  loss {hist['loss'][-1]:.6f}"
@@ -236,7 +246,12 @@ def main(argv=None):
                    help="comma-separated subset of " + ",".join(RECIPES))
     p.add_argument("--quick", action="store_true",
                    help="20-iter smoke run of every recipe")
+    p.add_argument("--compute-dtype", default=None,
+                   help="e.g. bfloat16: run recipes in mixed precision "
+                        "(records tagged with the dtype)")
     args = p.parse_args(argv)
+    global COMPUTE_DTYPE
+    COMPUTE_DTYPE = args.compute_dtype
 
     names = list(RECIPES) if not args.only else args.only.split(",")
     os.makedirs(OUTDIR, exist_ok=True)
@@ -261,6 +276,9 @@ def main(argv=None):
         rec.update({"iters": int(iters), "seconds": round(dt, 1),
                     "it_per_s": round(iters / dt, 2),
                     "quick": bool(args.quick)})
+        if COMPUTE_DTYPE:
+            rec["compute_dtype"] = COMPUTE_DTYPE
+            rec["recipe"] += f" [{COMPUTE_DTYPE}]"
         with open(log, "a") as f:
             f.write(json.dumps(rec) + "\n")
         print(json.dumps(rec), flush=True)
