@@ -112,6 +112,8 @@ def _make_tx(cfg: FitConfig) -> optax.GradientTransformation:
         return optax.adam(cfg.lr)
     if cfg.optimizer == "lbfgs":
         return optax.lbfgs(learning_rate=None)
+    if cfg.optimizer == "sgd":
+        return optax.sgd(cfg.lr)
     raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
 
 

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 import flax.linen as nn
 
+from dip_tpu.ops.border_conv import can_borderfix, conv2d_borderfix
 from dip_tpu.ops.pad import pad2d
 from dip_tpu.ops.resample import avg_pool, downsample, max_pool, upsample
 
@@ -77,6 +78,13 @@ class TrainBatchNorm(nn.Module):
 
     Equivalent to torch BatchNorm2d in training mode (the only mode the
     reference uses). Stateless: no running averages to thread through scan.
+
+    Also accepts a *list* of NHWC parts representing a virtual channel
+    concat: BN statistics are per-channel, so normalizing each part with the
+    corresponding slice of one full-width scale/bias is numerically identical
+    to BN(concat(parts)) — while never materializing the concatenated tensor
+    (on TPU a 128+4=132-lane tensor pads to 256 lanes and costs ~2x HBM
+    traffic on every op that touches it). Parameter shapes are unchanged.
     """
 
     eps: float = 1e-5
@@ -84,16 +92,27 @@ class TrainBatchNorm(nn.Module):
     use_bias: bool = True
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        c = x.shape[-1]
-        mean = jnp.mean(x, axis=(0, 1, 2))
-        var = jnp.var(x, axis=(0, 1, 2))
-        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
-        if self.use_scale:
-            y = y * self.param("scale", nn.initializers.ones, (c,))
-        if self.use_bias:
-            y = y + self.param("bias", nn.initializers.zeros, (c,))
-        return y
+    def __call__(self, x):
+        parts = isinstance(x, (list, tuple))
+        xs = list(x) if parts else [x]
+        c = sum(p.shape[-1] for p in xs)
+        scale = (self.param("scale", nn.initializers.ones, (c,))
+                 if self.use_scale else None)
+        bias = (self.param("bias", nn.initializers.zeros, (c,))
+                if self.use_bias else None)
+        out, off = [], 0
+        for p in xs:
+            ci = p.shape[-1]
+            mean = jnp.mean(p, axis=(0, 1, 2))
+            var = jnp.var(p, axis=(0, 1, 2))
+            y = (p - mean) * jax.lax.rsqrt(var + self.eps)
+            if scale is not None:
+                y = y * scale[off:off + ci]
+            if bias is not None:
+                y = y + bias[off:off + ci]
+            out.append(y)
+            off += ci
+        return out if parts else out[0]
 
 
 class InstanceNorm(nn.Module):
@@ -132,12 +151,41 @@ def norm(x: jnp.ndarray, kind: str | None = "batch") -> jnp.ndarray:
 # conv block
 # ---------------------------------------------------------------------------
 
+class _ConvParams(nn.Module):
+    """Parameter holder that mirrors nn.Conv's param tree ('kernel'/'bias').
+
+    Used by Conv's virtual-concat path: instantiated with name='Conv_0' it
+    occupies exactly the path flax would auto-assign to the nn.Conv child, so
+    checkpoints, the torch converter, and init RNG streams are bit-identical
+    between the fused and materialized code paths.
+    """
+
+    kshape: tuple
+    use_bias: bool
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", torch_conv_kernel_init, self.kshape)
+        bias = None
+        if self.use_bias:
+            fan_in = self.kshape[0] * self.kshape[1] * self.kshape[2]
+            bias = self.param("bias", torch_conv_bias_init(fan_in),
+                              (self.kshape[-1],))
+        return kernel, bias
+
+
 class Conv(nn.Module):
     """Padded conv with optional decoupled antialiased downsampling.
 
     The reference's conv() (common.py:99-124): when stride != 1 and
     downsample_mode != 'stride', the conv runs at stride 1 and is followed by
     avg/max pooling or a fixed Lanczos downsampler.
+
+    Also accepts a *list* of NHWC parts as a virtual channel concat:
+    conv(concat(parts), W) == sum_i conv(part_i, W[:, :, slice_i, :]), so the
+    concatenated tensor (whose odd channel count, e.g. 132 = 128 + 4 in the
+    skip net, pads to 256 TPU lanes and doubles HBM traffic) is never built.
+    The single full-width kernel parameter is declared either way.
     """
 
     features: int
@@ -148,7 +196,7 @@ class Conv(nn.Module):
     downsample_mode: str = "stride"
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x) -> jnp.ndarray:
         ks = self.kernel_size
         stride = self.stride
         post_down = None
@@ -157,22 +205,37 @@ class Conv(nn.Module):
             stride = 1
 
         to_pad = (ks - 1) // 2
-        if self.pad in ("reflection", "replication") and to_pad > 0:
-            x = pad2d(x, to_pad, self.pad)
-            padding = (0, 0)
-        else:
-            padding = (to_pad, to_pad)
+        parts_in = isinstance(x, (list, tuple))
+        xs = list(x) if parts_in else [x]
+        c_total = sum(p.shape[-1] for p in xs)
+        # one full-width kernel param at the same path nn.Conv would use
+        kernel, bias_p = _ConvParams(
+            (ks, ks, c_total, self.features), self.bias, name="Conv_0")()
 
-        fan_in = ks * ks * x.shape[-1]
-        y = nn.Conv(
-            features=self.features,
-            kernel_size=(ks, ks),
-            strides=(stride, stride),
-            padding=(padding, padding),
-            use_bias=self.bias,
-            kernel_init=torch_conv_kernel_init,
-            bias_init=torch_conv_bias_init(fan_in),
-        )(x)
+        y = None
+        off = 0
+        for p in xs:
+            ci = p.shape[-1]
+            kp = kernel[:, :, off:off + ci, :] if parts_in else kernel
+            if self.pad in ("reflection", "replication") and to_pad > 0:
+                if can_borderfix(ks, stride, p.shape[1], p.shape[2], self.pad):
+                    # zero-pad conv + strip corrections: exact, and never
+                    # materializes the (H+2, W+2) padded tensor
+                    yi = conv2d_borderfix(p, kp, stride, self.pad)
+                else:
+                    pp = pad2d(p, to_pad, self.pad)
+                    yi = jax.lax.conv_general_dilated(
+                        pp, kp, (stride, stride), "VALID",
+                        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            else:
+                yi = jax.lax.conv_general_dilated(
+                    p, kp, (stride, stride),
+                    ((to_pad, to_pad), (to_pad, to_pad)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            y = yi if y is None else y + yi
+            off += ci
+        if bias_p is not None:
+            y = y + bias_p.astype(y.dtype)
 
         if post_down == "avg":
             y = avg_pool(y, self.stride)
@@ -217,8 +280,8 @@ class ConvTranspose(nn.Module):
 # structural ops
 # ---------------------------------------------------------------------------
 
-def concat_cropped(tensors: Sequence[jnp.ndarray], axis: int = -1) -> jnp.ndarray:
-    """Channel-concat after center-cropping all inputs to the smallest H, W
+def crop_to_min(tensors: Sequence[jnp.ndarray]) -> list[jnp.ndarray]:
+    """Center-crop all NHWC inputs to the smallest common H, W
     (common.py:19-39). Shapes are static under jit, so the crop is free when
     sizes already agree."""
     hs = [t.shape[1] for t in tensors]
@@ -229,7 +292,12 @@ def concat_cropped(tensors: Sequence[jnp.ndarray], axis: int = -1) -> jnp.ndarra
         dh = (t.shape[1] - th) // 2
         dw = (t.shape[2] - tw) // 2
         out.append(t[:, dh : dh + th, dw : dw + tw, :])
-    return jnp.concatenate(out, axis=axis)
+    return out
+
+
+def concat_cropped(tensors: Sequence[jnp.ndarray], axis: int = -1) -> jnp.ndarray:
+    """Channel-concat after center-cropping to the smallest H, W."""
+    return jnp.concatenate(crop_to_min(tensors), axis=axis)
 
 
 class GenNoise(nn.Module):
@@ -253,6 +321,7 @@ __all__ = [
     "Conv",
     "ConvTranspose",
     "concat_cropped",
+    "crop_to_min",
     "GenNoise",
     "upsample",
     "torch_conv_kernel_init",

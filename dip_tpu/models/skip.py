@@ -26,7 +26,8 @@ from typing import Sequence
 import jax.numpy as jnp
 import flax.linen as nn
 
-from dip_tpu.models.blocks import Conv, TrainBatchNorm, act, concat_cropped, upsample
+from dip_tpu.models.blocks import (Conv, TrainBatchNorm, act, concat_cropped,
+                                   crop_to_min, upsample)
 
 
 def _per_scale(value, n):
@@ -53,6 +54,14 @@ class Skip(nn.Module):
     downsample_mode: str | Sequence[str] = "stride"
     act_fun: str = "LeakyReLU"
     need1x1_up: bool = True
+    # Virtual skip-concat: keep (skip, up) as separate tensors through the
+    # post-concat BN and conv, computing with sliced full-width params —
+    # numerically identical to materializing concat (BN stats are
+    # per-channel; conv is linear in input channels), but avoids ever
+    # building a 132-channel tensor whose lane padding (132 -> 256) costs
+    # ~8 ms/iter of layout-copy HBM traffic at 512^2 on a v5e. Param tree is
+    # unchanged. Set False to force the materialized concat.
+    fuse_concat: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -83,7 +92,10 @@ class Skip(nn.Module):
         for i in reversed(range(n_scales)):
             u = upsample(u, 2, up_modes[i])
             if skips[i] is not None:
-                u = concat_cropped([skips[i], u])
+                if self.fuse_concat:
+                    u = crop_to_min([skips[i], u])  # list: virtual concat
+                else:
+                    u = concat_cropped([skips[i], u])
             u = TrainBatchNorm()(u)
             u = cba(u, self.num_channels_up[i], k_up[i])
             if self.need1x1_up:

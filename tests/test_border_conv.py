@@ -1,0 +1,99 @@
+"""Exactness of the border-corrected conv vs materialized pad + conv.
+
+conv2d_borderfix must reproduce conv_valid(pad2d(x, 1, mode)) bit-closely
+for every (mode, stride) combination it claims to support, including the
+corner cells where row and column ghosts interact — and its gradients must
+match too, since it runs inside the DIP autodiff loop.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dip_tpu.ops.border_conv import can_borderfix, conv2d_borderfix
+from dip_tpu.ops.pad import pad2d
+
+DN = ("NHWC", "HWIO", "NHWC")
+
+
+def _reference(x, kernel, stride, mode):
+    xp = pad2d(x, 1, mode)
+    return jax.lax.conv_general_dilated(
+        xp, kernel, (stride, stride), "VALID", dimension_numbers=DN)
+
+
+@pytest.mark.parametrize("mode", ["reflection", "replication"])
+@pytest.mark.parametrize("stride,h,w", [(1, 12, 16), (1, 13, 11),
+                                        (2, 12, 16), (2, 8, 8)])
+def test_borderfix_matches_padded_conv(mode, stride, h, w):
+    key = jax.random.key(0)
+    k1, k2 = jax.random.split(key)
+    x = jax.random.normal(k1, (2, h, w, 5))
+    kernel = jax.random.normal(k2, (3, 3, 5, 7))
+    assert can_borderfix(3, stride, h, w, mode)
+    got = conv2d_borderfix(x, kernel, stride, mode)
+    want = _reference(x, kernel, stride, mode)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("mode", ["reflection", "replication"])
+@pytest.mark.parametrize("stride", [1, 2])
+def test_borderfix_gradients_match(mode, stride):
+    k1, k2, k3 = jax.random.split(jax.random.key(1), 3)
+    x = jax.random.normal(k1, (1, 8, 10, 3))
+    kernel = jax.random.normal(k2, (3, 3, 3, 4))
+
+    def loss_fast(x, k):
+        y = conv2d_borderfix(x, k, stride, mode)
+        return jnp.sum(y * ct)
+
+    def loss_ref(x, k):
+        y = _reference(x, k, stride, mode)
+        return jnp.sum(y * ct)
+
+    out_shape = _reference(x, kernel, stride, mode).shape
+    ct = jax.random.normal(k3, out_shape)
+    gx1, gk1 = jax.grad(loss_fast, argnums=(0, 1))(x, kernel)
+    gx2, gk2 = jax.grad(loss_ref, argnums=(0, 1))(x, kernel)
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gk1), np.asarray(gk2),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_can_borderfix_gating():
+    assert not can_borderfix(5, 1, 32, 32, "reflection")      # ks != 3
+    assert not can_borderfix(3, 2, 31, 32, "reflection")      # odd H, stride 2
+    assert not can_borderfix(3, 1, 32, 32, "zero")            # zero pad
+    assert not can_borderfix(3, 3, 32, 32, "reflection")      # stride 3
+    assert can_borderfix(3, 1, 3, 3, "replication")
+
+
+def test_skip_fused_vs_materialized_concat():
+    """End-to-end: Skip(fuse_concat=True) == Skip(fuse_concat=False), same
+    params (identical tree paths AND values), same output."""
+    from dip_tpu.models import Skip
+    from dip_tpu.utils.noise import get_noise
+
+    z = get_noise(jax.random.key(1), 8, "noise", (32, 32))
+    kw = dict(num_channels_down=[12] * 2, num_channels_up=[12] * 2,
+              num_channels_skip=[4] * 2, upsample_mode="bilinear",
+              pad="reflection")
+    m1 = Skip(fuse_concat=True, **kw)
+    m2 = Skip(fuse_concat=False, **kw)
+    v1 = m1.init({"params": jax.random.key(0), "noise": jax.random.key(2)}, z)
+    v2 = m2.init({"params": jax.random.key(0), "noise": jax.random.key(2)}, z)
+    p1 = jax.tree_util.tree_leaves_with_path(v1)
+    p2 = jax.tree_util.tree_leaves_with_path(v2)
+    assert ([jax.tree_util.keystr(k) for k, _ in p1]
+            == [jax.tree_util.keystr(k) for k, _ in p2])
+    for (k, a), (_, b) in zip(p1, p2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=jax.tree_util.keystr(k))
+    o1 = m1.apply(v1, z, rngs={"noise": jax.random.key(3)})
+    o2 = m2.apply(v2, z, rngs={"noise": jax.random.key(3)})
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                               rtol=2e-5, atol=2e-5)

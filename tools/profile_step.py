@@ -36,7 +36,7 @@ def _target(size):
 
 def time_variant(name, size, iters, *, upsample="bilinear", metrics=True,
                  jitter=True, ema=True, compute_dtype=None, grad=True,
-                 optimizer=True):
+                 optimizer="adam", pad="reflection", skip_ch=4):
     import jax
     import jax.numpy as jnp
 
@@ -47,9 +47,9 @@ def time_variant(name, size, iters, *, upsample="bilinear", metrics=True,
 
     target = jnp.asarray(_target(size)[None])
     model = Skip(num_channels_down=[128] * 5, num_channels_up=[128] * 5,
-                 num_channels_skip=[4] * 5, upsample_mode=upsample,
-                 pad="reflection")
-    cfg = FitConfig(num_iter=iters, lr=0.01,
+                 num_channels_skip=[skip_ch] * 5, upsample_mode=upsample,
+                 pad=pad)
+    cfg = FitConfig(num_iter=iters, lr=0.01, optimizer=optimizer,
                     reg_noise_std=(1.0 / 30 if jitter else 0.0),
                     exp_weight=(0.99 if ema else None),
                     compute_dtype=compute_dtype, log_every=iters)
@@ -100,6 +100,14 @@ VARIANTS = {
     "nearest_up": {"upsample": "nearest"},
     "bf16_full": {"compute_dtype": "bfloat16"},
     "bf16_nearest": {"compute_dtype": "bfloat16", "upsample": "nearest"},
+    # copy-attribution ablations (trace shows layout copies ~48% of step)
+    "zero_pad": {"pad": "zero"},
+    "skip0": {"skip_ch": 0},
+    "zero_pad_skip0": {"pad": "zero", "skip_ch": 0},
+    "sgd": {"optimizer": "sgd"},
+    "bf16_zero_pad": {"compute_dtype": "bfloat16", "pad": "zero"},
+    "bf16_zero_pad_skip0": {"compute_dtype": "bfloat16", "pad": "zero",
+                            "skip_ch": 0},
 }
 
 
