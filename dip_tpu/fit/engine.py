@@ -108,6 +108,10 @@ def _jitter_params(params: Any, key: jax.Array, scale: float = 1.0 / 50.0) -> An
 
 
 def _make_tx(cfg: FitConfig) -> optax.GradientTransformation:
+    # NOTE: optax.flatten(adam) was tried and measured SLOWER (21.0 ->
+    # 21.75 ms bf16 @512^2): the ravel/concat/split traffic costs more than
+    # the ~117 small per-leaf update fusions, whose trace durations overlap
+    # async DMA anyway.
     if cfg.optimizer == "adam":
         return optax.adam(cfg.lr)
     if cfg.optimizer == "lbfgs":

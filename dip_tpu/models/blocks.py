@@ -25,6 +25,7 @@ import flax.linen as nn
 
 from dip_tpu.ops.border_conv import can_borderfix, conv2d_borderfix
 from dip_tpu.ops.pad import pad2d
+from dip_tpu.ops.pallas_wgrad import conv2d_fast
 from dip_tpu.ops.resample import avg_pool, downsample, max_pool, upsample
 
 
@@ -224,14 +225,10 @@ class Conv(nn.Module):
                     yi = conv2d_borderfix(p, kp, stride, self.pad)
                 else:
                     pp = pad2d(p, to_pad, self.pad)
-                    yi = jax.lax.conv_general_dilated(
-                        pp, kp, (stride, stride), "VALID",
-                        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                    yi = conv2d_fast(pp, kp, stride, "VALID")
             else:
-                yi = jax.lax.conv_general_dilated(
-                    p, kp, (stride, stride),
-                    ((to_pad, to_pad), (to_pad, to_pad)),
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                yi = conv2d_fast(p, kp, stride,
+                                 ((to_pad, to_pad), (to_pad, to_pad)))
             y = yi if y is None else y + yi
             off += ci
         if bias_p is not None:

@@ -75,13 +75,13 @@ def conv2d_borderfix(x: jnp.ndarray, kernel: jnp.ndarray, stride: int,
     n, h, w, c = x.shape
     s = stride
 
+    from dip_tpu.ops.pallas_wgrad import conv2d_fast
+
     if s == 1:
-        y = lax.conv_general_dilated(
-            x, kernel, (1, 1), ((1, 1), (1, 1)), dimension_numbers=_DN)
+        y = conv2d_fast(x, kernel, 1, ((1, 1), (1, 1)))
     else:
         # even H/W: the high edge never leaves the input, pad low only
-        y = lax.conv_general_dilated(
-            x, kernel, (s, s), ((1, 0), (1, 0)), dimension_numbers=_DN)
+        y = conv2d_fast(x, kernel, s, ((1, 0), (1, 0)))
 
     # Strip corrections are expressed as shifted-slice einsums rather than
     # degenerate-shape convolutions: 1-wide convs trip a CHECK in the TPU
