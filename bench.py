@@ -3,6 +3,13 @@
 
 Runs the flagship denoising fit loop (skip-128x5, input_depth 32, jitter +
 EMA + on-device PSNR) for a timed chunk on the available accelerator.
+
+    python bench.py [size] [iters] [batch] [dtype]
+
+Defaults: 512 100 1 f32. `batch` > 1 on a single chip pipelines independent
+fits through FitQueue; on a multi-chip mesh it shard_maps one image per
+device. `dtype` may be 'bfloat16' for the mixed-precision path (quality
+parity validated on the real-image recipes — see RESULTS.md).
 """
 
 import sys
@@ -14,4 +21,7 @@ from dip_tpu.bench import run_bench
 if __name__ == "__main__":
     size = int(sys.argv[1]) if len(sys.argv) > 1 else 512
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 100
-    run_bench(size=size, iters=iters, batch=1, print_json=True)
+    batch = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+    dtype = sys.argv[4] if len(sys.argv) > 4 else None
+    run_bench(size=size, iters=iters, batch=batch, print_json=True,
+              compute_dtype=dtype)

@@ -42,7 +42,8 @@ def measured_torch_baseline() -> float:
 
 
 def run_bench(size: int = 512, iters: int = 100, batch: int = 1,
-              warmup_iters: int = 20, print_json: bool = True) -> dict:
+              warmup_iters: int = 20, print_json: bool = True,
+              compute_dtype: str | None = None) -> dict:
     import jax.numpy as jnp
 
     from dip_tpu.fit.engine import Engine, FitConfig, default_metrics
@@ -67,7 +68,8 @@ def run_bench(size: int = 512, iters: int = 100, batch: int = 1,
         pad="reflection",
     )
     cfg = FitConfig(num_iter=iters, lr=0.01, reg_noise_std=1.0 / 30,
-                    exp_weight=0.99, log_every=iters)
+                    exp_weight=0.99, log_every=iters,
+                    compute_dtype=compute_dtype)
     loss_fn = lambda p, out, aux: mse(out, aux)
     metrics_fn = default_metrics(target)
 
@@ -133,8 +135,9 @@ def run_bench(size: int = 512, iters: int = 100, batch: int = 1,
 
     ips = total_iters / dt
     baseline = measured_torch_baseline()
+    tag = "" if compute_dtype is None else f"_{compute_dtype}"
     result = {
-        "metric": f"dip_iters_per_sec_{size}x{size}_b{batch}",
+        "metric": f"dip_iters_per_sec_{size}x{size}_b{batch}{tag}",
         "value": round(ips, 2),
         "unit": "iters/s",
         "vs_baseline": round(ips / baseline, 1),
