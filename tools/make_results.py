@@ -46,6 +46,8 @@ def fmt_quality(r: dict) -> str:
         parts.append(f"bicubic {r['psnr_y_bicubic']} ({'+' if delta >= 0 else ''}{delta})")
     if "fi_loss_final" in r:
         parts.append(f"fc6 loss {r['fi_loss_first']} -> {r['fi_loss_final']}")
+    if "am_loss_final" in r:
+        parts.append(f"objective {r['am_loss_first']} -> {r['am_loss_final']}")
     if not parts and "loss_final" in r:
         parts.append(f"final loss {r['loss_final']}")
     return ", ".join(parts) or "-"

@@ -178,6 +178,32 @@ def run_inversion(weights_path: str, num_iter: int, layers=("fc6",),
     return float(hist["loss"][0]), float(hist["loss"][-1])
 
 
+# --------------------------------------------------------------------------
+# activation maximization on the trained classifier (fc8 class logit)
+# --------------------------------------------------------------------------
+
+def run_am(weights_path: str, num_iter: int, map_idx: int = 3):
+    """Maximize a *trained* class logit (the reference's AM recipe,
+    activation_maximization.ipynb cells 11-22, on weights that mean
+    something: class `map_idx` is an oriented-grating class, so the
+    synthesized image should develop that orientation)."""
+    import jax
+
+    from dip_tpu.tasks.activation_maximization import task as am_task
+    from dip_tpu.tasks.base import run_task
+    from dip_tpu.utils.image_io import nhwc_to_hwc, save_image
+
+    spec = am_task(backbone="alexnet_caffe", layer="fc8", map_idx=map_idx,
+                   weights_path=weights_path, num_iter=num_iter)
+    out, state, hist = run_task(
+        spec, jax.random.key(1),
+        callback=lambda it, h, s: print(
+            f"  am iter {it:5d}  loss {h['loss'][-1]:.4f}", flush=True))
+    path = os.path.join(OUTDIR, f"am_trained_class{map_idx}.png")
+    save_image(path, np.clip(nhwc_to_hwc(out), 0, 1))
+    return float(hist["loss"][0]), float(hist["loss"][-1]), path
+
+
 def main(argv=None):
     from dip_tpu.utils.platform import apply_platform_env
 
@@ -187,27 +213,64 @@ def main(argv=None):
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--lr", type=float, default=3e-4)
     p.add_argument("--fi-iters", type=int, default=3100)
+    p.add_argument("--am-iters", type=int, default=3100)
+    p.add_argument("--am-class", type=int, default=3)
     p.add_argument("--quick", action="store_true")
+    p.add_argument("--skip-train", action="store_true",
+                   help="reuse an existing results/alexnet_trained.pth")
+    p.add_argument("--skip-fi", action="store_true",
+                   help="skip the feature-inversion stage (AM only)")
     p.add_argument("--content", default=None,
                    help="image to invert (default: held-out procedural)")
     args = p.parse_args(argv)
     if args.quick:
         args.fi_iters = min(args.fi_iters, 60)
+        args.am_iters = min(args.am_iters, 60)
 
-    params, test_acc = train(args.steps, args.batch, args.lr)
     os.makedirs(OUTDIR, exist_ok=True)
-    export_torch(params, CKPT)
+    if args.skip_train and os.path.exists(CKPT):
+        test_acc = -1.0
+    else:
+        params, test_acc = train(args.steps, args.batch, args.lr)
+        export_torch(params, CKPT)
+    if args.skip_fi:
+        am0, am1, am_path = run_am(CKPT, args.am_iters, args.am_class)
+        rec_am = {"recipe": f"activation_max/trained-alexnet "
+                            f"fc8[{args.am_class}]",
+                  "image": "synthesized", "size": "227x227",
+                  "iters": args.am_iters, "am_loss_first": round(am0, 4),
+                  "am_loss_final": round(am1, 4), "out": am_path,
+                  "quick": args.quick}
+        with open(os.path.join(OUTDIR, "reproduce.jsonl"), "a") as f:
+            f.write(json.dumps(rec_am) + "\n")
+        print(json.dumps(rec_am), flush=True)
+        return
+
     loss0, loss1 = run_inversion(CKPT, args.fi_iters,
                                  content_path=args.content)
     rec = {"recipe": "feature_inversion/trained-alexnet fc6",
+           "image": "held-out procedural", "size": f"{IMSIZE}x{IMSIZE}",
            "backbone_test_acc": round(test_acc, 3),
            "train_steps": args.steps,
            "fi_iters": args.fi_iters,
            "fi_loss_first": round(loss0, 4), "fi_loss_final": round(loss1, 4),
+           "out": os.path.join(OUTDIR, "fi_trained_inversion.png"),
            "ckpt": CKPT, "quick": args.quick}
     with open(os.path.join(OUTDIR, "reproduce.jsonl"), "a") as f:
         f.write(json.dumps(rec) + "\n")
     print(json.dumps(rec), flush=True)
+
+    am0, am1, am_path = run_am(CKPT, args.am_iters, args.am_class)
+    rec_am = {"recipe": f"activation_max/trained-alexnet "
+                        f"fc8[{args.am_class}]",
+              "image": "synthesized", "size": "227x227",
+              "backbone_test_acc": round(test_acc, 3),
+              "iters": args.am_iters,
+              "am_loss_first": round(am0, 4), "am_loss_final": round(am1, 4),
+              "out": am_path, "quick": args.quick}
+    with open(os.path.join(OUTDIR, "reproduce.jsonl"), "a") as f:
+        f.write(json.dumps(rec_am) + "\n")
+    print(json.dumps(rec_am), flush=True)
 
 
 if __name__ == "__main__":
