@@ -68,7 +68,10 @@ def _keyless(state: FitState):
 
 
 def _rekey(restored, template: FitState) -> FitState:
-    key = jax.random.wrap_key_data(jax.numpy.asarray(restored.key))
+    # the template key carries the PRNG impl (threefry, rbg, ...): raw key
+    # data shapes differ per impl, so wrap with the same one
+    key = jax.random.wrap_key_data(jax.numpy.asarray(restored.key),
+                                   impl=jax.random.key_impl(template.key))
     return FitState(
         params=jax.tree_util.tree_map(jax.numpy.asarray, restored.params),
         opt_state=jax.tree_util.tree_map(jax.numpy.asarray, restored.opt_state),

@@ -68,6 +68,19 @@ class FitConfig:
     # (feature_inversion.ipynb cell 21: *10 until 10k, *2 until 15k, /2
     # until 20k). Evaluated on-device with jnp.select.
     reg_noise_schedule: tuple | None = None
+    # In-loop PRNG implementation. 'rbg' (default) is jax's TPU-fast RBG
+    # generator: the input-jitter draw is C*H*W normals per iteration (8.4M
+    # at 512^2/32ch) where threefry costs measurable step time (20.98 ->
+    # 20.79 ms bf16 @512^2). Statistical quality is ample for jitter noise,
+    # and no exact-stream parity exists to preserve — the reference draws
+    # unseeded CUDA noise (noise.normal_(), denoising.ipynb cell 10). The
+    # init key (weights) keeps the caller's impl so param init is unchanged.
+    # None = inherit the caller's key impl (threefry for jax.random.key).
+    rng_impl: str | None = "rbg"
+    # scan body unroll factor: >1 lets the XLA scheduler interleave/overlap
+    # work across adjacent iterations at the cost of code size. Measured per
+    # workload; 1 is the safe default.
+    scan_unroll: int = 1
 
 
 class FitState(NamedTuple):
@@ -165,6 +178,11 @@ class Engine:
         leaves beyond the net (e.g. {'down': ...})."""
         del aux
         k_init, k_noise, k_run = jax.random.split(key, 3)
+        if self.cfg.rng_impl is not None:
+            # re-seed the *run* key under the requested impl; init keys keep
+            # the caller's impl so weight init matches non-rbg runs exactly
+            seed = jax.random.randint(k_run, (), 0, jnp.iinfo(jnp.int32).max)
+            k_run = jax.random.key(seed, impl=self.cfg.rng_impl)
         # jit the whole init: one compiled program instead of per-op dispatch
         # (matters on remote-tunneled TPU backends and 1-core CPU hosts)
         variables = jax.jit(self.model.init)({"params": k_init, "noise": k_noise}, z)
@@ -304,7 +322,8 @@ class Engine:
         """`length` steps as one lax.scan (trace-time constant)."""
         def body(s, _):
             return self.step(s, aux)
-        return jax.lax.scan(body, state, None, length=length)
+        return jax.lax.scan(body, state, None, length=length,
+                            unroll=self.cfg.scan_unroll)
 
     def _get_chunk_jit(self):
         if self._chunk_jit is None:

@@ -93,7 +93,14 @@ class TrainBatchNorm(nn.Module):
     use_bias: bool = True
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, as_affine: bool = False):
+        """Normalize x (default), or with `as_affine=True` return
+        `(x, s, t)` such that BN(x) == x * s + t per channel — without
+        materializing the normalized tensor. A following conv folds (s, t)
+        into its kernel/bias (`Conv(in_scale=, in_shift=)`), which removes
+        one full-resolution write+read per BN->conv site; exact because
+        conv is linear and reflect/replicate padding commutes with
+        per-channel affine maps. Parameter shapes/paths are unchanged."""
         parts = isinstance(x, (list, tuple))
         xs = list(x) if parts else [x]
         c = sum(p.shape[-1] for p in xs)
@@ -101,6 +108,24 @@ class TrainBatchNorm(nn.Module):
                  if self.use_scale else None)
         bias = (self.param("bias", nn.initializers.zeros, (c,))
                 if self.use_bias else None)
+        if as_affine:
+            ss, ts, off = [], [], 0
+            for p in xs:
+                ci = p.shape[-1]
+                mean = jnp.mean(p, axis=(0, 1, 2))
+                var = jnp.var(p, axis=(0, 1, 2))
+                s = jax.lax.rsqrt(var + self.eps)
+                if scale is not None:
+                    s = s * scale[off:off + ci]
+                t = -mean * s
+                if bias is not None:
+                    t = t + bias[off:off + ci]
+                ss.append(s)
+                ts.append(t)
+                off += ci
+            s_full = jnp.concatenate(ss)
+            t_full = jnp.concatenate(ts)
+            return (x if parts else xs[0]), s_full, t_full
         out, off = [], 0
         for p in xs:
             ci = p.shape[-1]
@@ -197,13 +222,25 @@ class Conv(nn.Module):
     downsample_mode: str = "stride"
 
     @nn.compact
-    def __call__(self, x) -> jnp.ndarray:
+    def __call__(self, x, in_scale: jnp.ndarray | None = None,
+                 in_shift: jnp.ndarray | None = None) -> jnp.ndarray:
+        """`in_scale`/`in_shift` fold a preceding per-channel affine map
+        (e.g. train-mode BN, see TrainBatchNorm(as_affine=True)) into the
+        conv: conv(x*s + t, W) == conv(x, W*s) + sum_hwi W[h,w,i,:]*t[i].
+        Exact for reflect/replicate padding (spatial pad commutes with the
+        channel affine) and for 1x1 convs; rejected otherwise."""
         ks = self.kernel_size
         stride = self.stride
         post_down = None
         if stride != 1 and self.downsample_mode != "stride":
             post_down = self.downsample_mode
             stride = 1
+
+        if in_scale is not None and ks > 1 and self.pad not in (
+                "reflection", "replication"):
+            raise ValueError(
+                "affine folding into a zero-padded k>1 conv is not exact "
+                "(padded zeros lack the shift); materialize the BN instead")
 
         to_pad = (ks - 1) // 2
         parts_in = isinstance(x, (list, tuple))
@@ -218,6 +255,8 @@ class Conv(nn.Module):
         for p in xs:
             ci = p.shape[-1]
             kp = kernel[:, :, off:off + ci, :] if parts_in else kernel
+            if in_scale is not None:
+                kp = kp * in_scale[off:off + ci].astype(kp.dtype)[None, None, :, None]
             if self.pad in ("reflection", "replication") and to_pad > 0:
                 if can_borderfix(ks, stride, p.shape[1], p.shape[2], self.pad):
                     # zero-pad conv + strip corrections: exact, and never
@@ -231,6 +270,9 @@ class Conv(nn.Module):
                                  ((to_pad, to_pad), (to_pad, to_pad)))
             y = yi if y is None else y + yi
             off += ci
+        if in_shift is not None:
+            y = y + jnp.einsum("hwio,i->o", kernel,
+                               in_shift.astype(kernel.dtype)).astype(y.dtype)
         if bias_p is not None:
             y = y + bias_p.astype(y.dtype)
 

@@ -97,3 +97,46 @@ def test_skip_fused_vs_materialized_concat():
     o2 = m2.apply(v2, z, rngs={"noise": jax.random.key(3)})
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_skip_fold_bn_exact():
+    """Skip(fold_bn=True) == Skip(fold_bn=False): the post-concat BN folded
+    into the decoder conv as a kernel affine is numerically equivalent (and
+    the param tree is unchanged). Checked for both concat paths and for a
+    grad through the loss."""
+    from dip_tpu.models import Skip
+    from dip_tpu.utils.noise import get_noise
+
+    z = get_noise(jax.random.key(1), 8, "noise", (32, 32))
+    kw = dict(num_channels_down=[12] * 2, num_channels_up=[12] * 2,
+              num_channels_skip=[4] * 2, upsample_mode="bilinear",
+              pad="reflection")
+    for fuse in (True, False):
+        m1 = Skip(fold_bn=True, fuse_concat=fuse, **kw)
+        m2 = Skip(fold_bn=False, fuse_concat=fuse, **kw)
+        v1 = m1.init({"params": jax.random.key(0), "noise": jax.random.key(2)}, z)
+        v2 = m2.init({"params": jax.random.key(0), "noise": jax.random.key(2)}, z)
+        k1 = [jax.tree_util.keystr(k)
+              for k, _ in jax.tree_util.tree_leaves_with_path(v1)]
+        k2 = [jax.tree_util.keystr(k)
+              for k, _ in jax.tree_util.tree_leaves_with_path(v2)]
+        assert k1 == k2
+        o1 = m1.apply(v1, z, rngs={"noise": jax.random.key(3)})
+        o2 = m2.apply(v2, z, rngs={"noise": jax.random.key(3)})
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                                   rtol=2e-5, atol=2e-5)
+        g1 = jax.grad(lambda v: jnp.sum(
+            m1.apply(v, z, rngs={"noise": jax.random.key(3)}) ** 2))(v1)
+        g2 = jax.grad(lambda v: jnp.sum(
+            m2.apply(v, z, rngs={"noise": jax.random.key(3)}) ** 2))(v2)
+        # Compare the full grad vector globally: per-leaf comparison is
+        # dominated by leaves whose true grad is exactly 0 (every conv bias
+        # that feeds a BN — BN is shift-invariant), where both programs
+        # produce only ~1e-5 cancellation noise.
+        va = np.concatenate([np.asarray(l).ravel()
+                             for l in jax.tree_util.tree_leaves(g1)])
+        vb = np.concatenate([np.asarray(l).ravel()
+                             for l in jax.tree_util.tree_leaves(g2)])
+        denom = float(np.linalg.norm(vb))
+        assert float(np.linalg.norm(va - vb)) < 1e-4 * denom, (
+            float(np.linalg.norm(va - vb)) / denom)

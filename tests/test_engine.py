@@ -226,3 +226,24 @@ def test_reg_noise_schedule_applied_stds():
     np.testing.assert_allclose(stds[:4], 0.5, rtol=0.05)
     np.testing.assert_allclose(stds[4:8], 0.1, rtol=0.05)
     np.testing.assert_allclose(stds[8:], 0.01, rtol=0.05)
+
+
+def test_rng_impl_rbg():
+    """cfg.rng_impl='rbg' swaps the in-loop PRNG (TPU-fast RBG) while
+    keeping weight init identical to the default-impl run."""
+    target = _toy_image()
+    z = get_noise(jax.random.key(1), 8, "noise", (32, 32))
+    outs = {}
+    for impl in (None, "rbg"):
+        cfg = FitConfig(num_iter=60, lr=0.01, reg_noise_std=1.0 / 30,
+                        log_every=30, rng_impl=impl)
+        eng = Engine(_tiny_skip(), lambda p, out, aux: mse(out, aux), cfg,
+                     default_metrics(target))
+        state = eng.init_state(jax.random.key(0), z)
+        outs[impl] = state.params["net"]
+        state, hist = jax.jit(lambda s: eng.run_chunk(s, target, 60))(state)
+        assert float(hist["loss"][-1]) < float(hist["loss"][0])
+    # init params bit-identical: only the run key changes impl
+    a = jax.tree_util.tree_leaves(outs[None])
+    b = jax.tree_util.tree_leaves(outs["rbg"])
+    assert all(np.array_equal(x, y) for x, y in zip(a, b))

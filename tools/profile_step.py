@@ -36,7 +36,8 @@ def _target(size):
 
 def time_variant(name, size, iters, *, upsample="bilinear", metrics=True,
                  jitter=True, ema=True, compute_dtype=None, grad=True,
-                 optimizer="adam", pad="reflection", skip_ch=4):
+                 optimizer="adam", pad="reflection", skip_ch=4,
+                 fold_bn=False, rng_impl=None, unroll=1):
     import jax
     import jax.numpy as jnp
 
@@ -48,11 +49,12 @@ def time_variant(name, size, iters, *, upsample="bilinear", metrics=True,
     target = jnp.asarray(_target(size)[None])
     model = Skip(num_channels_down=[128] * 5, num_channels_up=[128] * 5,
                  num_channels_skip=[skip_ch] * 5, upsample_mode=upsample,
-                 pad=pad)
+                 pad=pad, fold_bn=fold_bn)
     cfg = FitConfig(num_iter=iters, lr=0.01, optimizer=optimizer,
                     reg_noise_std=(1.0 / 30 if jitter else 0.0),
                     exp_weight=(0.99 if ema else None),
-                    compute_dtype=compute_dtype, log_every=iters)
+                    compute_dtype=compute_dtype, log_every=iters,
+                    rng_impl=rng_impl, scan_unroll=unroll)
     eng = Engine(model, lambda p, o, a: mse(o, a), cfg,
                  default_metrics(target) if metrics else None)
     z = get_noise(jax.random.key(1), 32, "noise", (size, size))
@@ -108,6 +110,16 @@ VARIANTS = {
     "bf16_zero_pad": {"compute_dtype": "bfloat16", "pad": "zero"},
     "bf16_zero_pad_skip0": {"compute_dtype": "bfloat16", "pad": "zero",
                             "skip_ch": 0},
+    # round-2b experiments: BN->conv fold, TPU-fast RBG PRNG, scan unroll
+    "bf16_foldbn": {"compute_dtype": "bfloat16", "fold_bn": True},
+    "bf16_rbg": {"compute_dtype": "bfloat16", "rng_impl": "rbg"},
+    "bf16_unroll2": {"compute_dtype": "bfloat16", "unroll": 2},
+    "bf16_fold_rbg": {"compute_dtype": "bfloat16", "fold_bn": True,
+                      "rng_impl": "rbg"},
+    "bf16_fold_rbg_unroll2": {"compute_dtype": "bfloat16", "fold_bn": True,
+                              "rng_impl": "rbg", "unroll": 2},
+    "foldbn": {"fold_bn": True},
+    "rbg": {"rng_impl": "rbg"},
 }
 
 
