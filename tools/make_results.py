@@ -75,6 +75,21 @@ def main():
             f"| {r.get('iters', r.get('fi_iters', '-'))} | {fmt_quality(r)} "
             f"| {r.get('it_per_s', '-')} | {out} |")
     lines.append("")
+    eval_txt = os.path.join(ROOT, "results", "eval_sr_x4.txt")
+    if os.path.exists(eval_txt):
+        lines.append("## SR evaluation harness (paper protocol, x4)")
+        lines.append("")
+        lines.append("`python -m dip_tpu eval-sr --dir "
+                     "/root/reference/data/sr --factor 4` — full per-image "
+                     "DIP fits, Y-channel studio-swing PSNR inside the "
+                     "4-px-cropped non-zero bbox "
+                     "(super-resolution_eval_script.py:4-51 protocol), "
+                     "LaTeX row output:")
+        lines.append("")
+        lines.append("```")
+        lines.append(open(eval_txt).read().rstrip())
+        lines.append("```")
+        lines.append("")
     lines.append("Regenerate with `python tools/reproduce.py && "
                  "python tools/make_results.py`.")
     with open(OUT, "w") as f:
