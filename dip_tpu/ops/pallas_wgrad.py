@@ -299,6 +299,16 @@ def conv2d_fast(x: jnp.ndarray, kernel: jnp.ndarray, stride: int,
     Only the stride-1 pad-1 3x3 and pad-0 1x1 forms have Pallas backward
     kernels; everything else is the plain XLA op.
     """
+    # conv-as-shifted-matmuls (ops/dot_conv.py): measured 19.98 -> 15.81 ms
+    # for the bf16 512^2 flagship step (+26%) by avoiding the layout copies
+    # XLA inserts around convolution ops — but a regression for f32
+    # (28.3 -> 39.4 ms), so it dispatches on compute dtype. DIP_CONV_DOTS:
+    # unset = auto (bf16 only), "1" = always, "0" = never.
+    dots_env = os.environ.get("DIP_CONV_DOTS", "")
+    if dots_env == "1" or (dots_env != "0" and x.dtype == jnp.bfloat16):
+        from dip_tpu.ops.dot_conv import conv2d_dots
+
+        return conv2d_dots(x, kernel, stride, padding)
     if padding == ((1, 1), (1, 1)) and _can_use_3x3(x, kernel, stride):
         return _conv3x3_s1p1(x, kernel)
     if (padding in ("VALID", ((0, 0), (0, 0)))

@@ -140,3 +140,38 @@ def test_skip_fold_bn_exact():
         denom = float(np.linalg.norm(vb))
         assert float(np.linalg.norm(va - vb)) < 1e-4 * denom, (
             float(np.linalg.norm(va - vb)) / denom)
+
+
+def test_conv2d_dots_matches_xla():
+    """conv-as-shifted-matmuls == lax.conv (fwd + both grads), across
+    kernel sizes, strides, and paddings."""
+    from dip_tpu.ops.dot_conv import conv2d_dots
+
+    dn = jax.lax.conv_dimension_numbers((1, 1, 1, 1), (1, 1, 1, 1),
+                                        ("NHWC", "HWIO", "NHWC"))
+    rng = np.random.default_rng(0)
+    for kh, kw, stride, pad in [(3, 3, 1, ((1, 1), (1, 1))),
+                                (3, 3, 2, ((1, 0), (1, 0))),
+                                (1, 1, 1, "VALID"),
+                                (5, 5, 1, ((2, 2), (2, 2))),
+                                (3, 3, 1, "VALID")]:
+        x = jnp.asarray(rng.normal(size=(1, 12, 10, 5)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(kh, kw, 5, 7)), jnp.float32)
+
+        def f_dots(x, k):
+            return jnp.sum(conv2d_dots(x, k, stride, pad) ** 2)
+
+        def f_xla(x, k):
+            return jnp.sum(jax.lax.conv_general_dilated(
+                x, k, (stride, stride), pad, dimension_numbers=dn) ** 2)
+
+        np.testing.assert_allclose(
+            np.asarray(conv2d_dots(x, k, stride, pad)),
+            np.asarray(jax.lax.conv_general_dilated(
+                x, k, (stride, stride), pad, dimension_numbers=dn)),
+            rtol=1e-5, atol=1e-5, err_msg=str((kh, kw, stride, pad)))
+        for ga, gb in zip(jax.grad(f_dots, (0, 1))(x, k),
+                          jax.grad(f_xla, (0, 1))(x, k)):
+            np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                                       rtol=1e-4, atol=1e-4,
+                                       err_msg=str((kh, kw, stride, pad)))

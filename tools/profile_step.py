@@ -37,10 +37,15 @@ def _target(size):
 def time_variant(name, size, iters, *, upsample="bilinear", metrics=True,
                  jitter=True, ema=True, compute_dtype=None, grad=True,
                  optimizer="adam", pad="reflection", skip_ch=4,
-                 fold_bn=False, rng_impl=None, unroll=1):
+                 fold_bn=False, rng_impl=None, unroll=1, dots=None):
     import jax
     import jax.numpy as jnp
 
+    # dots: None = auto (the product default: bf16 only), True/False force
+    if dots is None:
+        os.environ.pop("DIP_CONV_DOTS", None)
+    else:
+        os.environ["DIP_CONV_DOTS"] = "1" if dots else "0"
     from dip_tpu.fit.engine import Engine, FitConfig, default_metrics
     from dip_tpu.models import Skip
     from dip_tpu.ops.losses import mse
@@ -120,6 +125,16 @@ VARIANTS = {
                               "rng_impl": "rbg", "unroll": 2},
     "foldbn": {"fold_bn": True},
     "rbg": {"rng_impl": "rbg"},
+    # conv-as-shifted-matmuls (ops/dot_conv.py): no conv-op layout copies
+    "bf16_dots": {"compute_dtype": "bfloat16", "fold_bn": True,
+                  "rng_impl": "rbg", "dots": True},
+    "dots": {"fold_bn": True, "rng_impl": "rbg", "dots": True},
+    # current defaults, for a like-for-like baseline row
+    "bf16_defaults": {"compute_dtype": "bfloat16", "fold_bn": True,
+                      "rng_impl": "rbg", "dots": False},
+    # auto dispatch (product default): dots for bf16 compute
+    "bf16_auto": {"compute_dtype": "bfloat16", "fold_bn": True,
+                  "rng_impl": "rbg"},
 }
 
 
