@@ -304,6 +304,9 @@ def conv2d_fast(x: jnp.ndarray, kernel: jnp.ndarray, stride: int,
     # XLA inserts around convolution ops — but a regression for f32
     # (28.3 -> 39.4 ms), so it dispatches on compute dtype. DIP_CONV_DOTS:
     # unset = auto (bf16 only), "1" = always, "0" = never.
+    # (Measured: restricting dots to stride-1 and keeping XLA convs for the
+    # stride-2 encoder layers is SLOWER — 17.58 vs 15.81 ms — because the
+    # conv ops reintroduce their layout copies; all-dots wins for bf16.)
     dots_env = os.environ.get("DIP_CONV_DOTS", "")
     if dots_env == "1" or (dots_env != "0" and x.dtype == jnp.bfloat16):
         from dip_tpu.ops.dot_conv import conv2d_dots

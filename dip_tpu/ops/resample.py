@@ -26,6 +26,8 @@ Kernel numerics match the reference bit-for-bit up to float assoc:
 
 from __future__ import annotations
 
+import os
+
 
 import numpy as np
 import jax
@@ -201,8 +203,41 @@ def upsample(x: jnp.ndarray, scale: int = 2, mode: str = "nearest") -> jnp.ndarr
             x[:, :, None, :, None, :], (n, h, scale, w, scale, c)
         ).reshape(n, h * scale, w * scale, c)
     if mode == "bilinear":
+        # measured and rejected as default: 16.59 vs 15.87 ms bf16 @512^2 —
+        # XLA's banded-matmul resize fuses better than the interleave
+        if scale == 2 and os.environ.get("DIP_UP_SHIFTS", "") == "1":
+            return _up2_bilinear_shifts(x)
         return jax.image.resize(x, (n, h * scale, w * scale, c), method="bilinear")
     raise ValueError(f"unknown upsample mode {mode!r}")
+
+
+def _up2_axis_shifts(x: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """2x bilinear upsample along one spatial axis by shifted adds.
+
+    Half-pixel centers (torch nn.Upsample(align_corners=False), which
+    jax.image.resize('bilinear') matches): out[2i] = .25 x[i-1] + .75 x[i],
+    out[2i+1] = .75 x[i] + .25 x[i+1], edges clamped. Expressed as two
+    elementwise combines + an interleave instead of the banded matmul
+    jax.image.resize lowers to: on TPU the matmul form drags transposed
+    layouts through the MXU for what is really a memory-bound VPU op
+    (measured in docs/PERF.md)."""
+    lo = jnp.concatenate([lax.slice_in_dim(x, 0, 1, axis=axis),
+                          lax.slice_in_dim(x, 0, x.shape[axis] - 1, axis=axis)],
+                         axis=axis)
+    hi = jnp.concatenate([lax.slice_in_dim(x, 1, x.shape[axis], axis=axis),
+                          lax.slice_in_dim(x, x.shape[axis] - 1, x.shape[axis],
+                                           axis=axis)],
+                         axis=axis)
+    even = 0.25 * lo + 0.75 * x
+    odd = 0.75 * x + 0.25 * hi
+    y = jnp.stack([even, odd], axis=axis + 1)
+    shape = list(x.shape)
+    shape[axis] *= 2
+    return y.reshape(shape)
+
+
+def _up2_bilinear_shifts(x: jnp.ndarray) -> jnp.ndarray:
+    return _up2_axis_shifts(_up2_axis_shifts(x, 1), 2)
 
 
 def avg_pool(x: jnp.ndarray, window: int, stride: int | None = None) -> jnp.ndarray:

@@ -164,3 +164,23 @@ def test_pools_match_torch():
         torch.nn.functional.max_pool2d(xt, 2).numpy().transpose(0, 2, 3, 1),
         atol=1e-6,
     )
+
+
+def test_up2_bilinear_shifts_matches_resize():
+    """The shifted-adds 2x bilinear upsample == jax.image.resize('bilinear')
+    (half-pixel centers), including edge clamping, fwd and grad."""
+    import jax
+
+    from dip_tpu.ops.resample import _up2_bilinear_shifts
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 7, 9, 5)), jnp.float32)
+    want = jax.image.resize(x, (2, 14, 18, 5), method="bilinear")
+    got = _up2_bilinear_shifts(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+    g1 = jax.grad(lambda x: jnp.sum(_up2_bilinear_shifts(x) ** 2))(x)
+    g2 = jax.grad(lambda x: jnp.sum(jax.image.resize(
+        x, (2, 14, 18, 5), method="bilinear") ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-5, atol=1e-5)
