@@ -54,6 +54,11 @@ def conv2d_dots(x: jnp.ndarray, kernel: jnp.ndarray, stride: int = 1,
         xs = x[:, ::stride, ::stride, :]
         return jnp.einsum("nhwc,cf->nhwf", xs, kernel[0, 0])
 
+    # NOTE: a phase-decomposed stride-2 form (split x into stride^2 phase
+    # planes so each tap becomes a unit slice — 4 strided slices instead of
+    # 9) is numerically correct (it passed the CPU exactness test) but
+    # reproducibly faults this TPU backend at 512^2 ("TPU device error —
+    # often a kernel fault"), so the naive strided-tap form stays.
     acc = None
     for dy in range(kh):
         for dx in range(kw):
