@@ -26,8 +26,44 @@ tools/profile_step.py 'bf16_dots' variants before any default flip).
 
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
 from jax import lax
+
+
+def _conv_s2d(x: jnp.ndarray, kernel: jnp.ndarray, ho: int,
+              wo: int) -> jnp.ndarray:
+    """Stride-2 conv on a thin-channel input via space-to-depth.
+
+    Strided tap slices on a narrow-channel tensor are pathologically slow
+    here (~0.27 ms each at 512^2/32ch; the z input conv needs 9). Instead:
+    one 2x2 space-to-depth rearrangement to (H/2, W/2, 4C), then the conv
+    becomes a *stride-1* ceil(k/2)-tap conv over full-lane-width channels:
+
+        x[2y+dy, 2x+dx, ci] == s2d(x)[y + dy//2, x + dx//2, (dy%2, dx%2, ci)]
+
+    with the kernel re-indexed accordingly (missing taps are dropped, not
+    zero-padded: for k=3 the (1,1) s2d-tap only needs the dy,dx=2 entries).
+    """
+    n, h, w, c = x.shape
+    kh, kw, _, f = kernel.shape
+    # pad to even spatial dims; the extra row/col is never read because the
+    # output extent is fixed to (ho, wo)
+    if h % 2 or w % 2:
+        x = jnp.pad(x, ((0, 0), (0, h % 2), (0, w % 2), (0, 0)))
+        h, w = h + h % 2, w + w % 2
+    s2 = x.reshape(n, h // 2, 2, w // 2, 2, c)
+    acc = None
+    for dy in range(kh):
+        for dx in range(kw):
+            qy, qx = dy // 2, dx // 2
+            xs = lax.slice(s2, (0, qy, dy % 2, qx, dx % 2, 0),
+                           (n, qy + ho, dy % 2 + 1, qx + wo, dx % 2 + 1, c))
+            xs = xs.reshape(n, ho, wo, c)
+            term = jnp.einsum("nhwc,cf->nhwf", xs, kernel[dy, dx])
+            acc = term if acc is None else acc + term
+    return acc
 
 
 def conv2d_dots(x: jnp.ndarray, kernel: jnp.ndarray, stride: int = 1,
@@ -59,6 +95,9 @@ def conv2d_dots(x: jnp.ndarray, kernel: jnp.ndarray, stride: int = 1,
     # 9) is numerically correct (it passed the CPU exactness test) but
     # reproducibly faults this TPU backend at 512^2 ("TPU device error —
     # often a kernel fault"), so the naive strided-tap form stays.
+    if (stride == 2 and c <= 64
+            and os.environ.get("DIP_CONV_S2D", "") != "0"):
+        return _conv_s2d(x, kernel, ho, wo)
     acc = None
     for dy in range(kh):
         for dx in range(kw):
