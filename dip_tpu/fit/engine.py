@@ -81,6 +81,10 @@ class FitConfig:
     # work across adjacent iterations at the cost of code size. Measured per
     # workload; 1 is the safe default.
     scan_unroll: int = 1
+    # Pack optimizer leaves smaller than this many elements into one fused
+    # update vector (fit/packed.py) — XLA emits a ~fixed-cost fusion per
+    # leaf otherwise. None = off.
+    pack_small_threshold: int | None = None
 
 
 class FitState(NamedTuple):
@@ -126,7 +130,12 @@ def _make_tx(cfg: FitConfig) -> optax.GradientTransformation:
     # the ~117 small per-leaf update fusions, whose trace durations overlap
     # async DMA anyway.
     if cfg.optimizer == "adam":
-        return optax.adam(cfg.lr)
+        tx = optax.adam(cfg.lr)
+        if cfg.pack_small_threshold:
+            from dip_tpu.fit.packed import pack_small
+
+            tx = pack_small(tx, cfg.pack_small_threshold)
+        return tx
     if cfg.optimizer == "lbfgs":
         return optax.lbfgs(learning_rate=None)
     if cfg.optimizer == "sgd":

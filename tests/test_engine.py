@@ -247,3 +247,39 @@ def test_rng_impl_rbg():
     a = jax.tree_util.tree_leaves(outs[None])
     b = jax.tree_util.tree_leaves(outs["rbg"])
     assert all(np.array_equal(x, y) for x, y in zip(a, b))
+
+
+def test_pack_small_matches_plain_adam():
+    """pack_small(adam) is bitwise-equivalent to plain adam per update
+    (packing permutes elements; adam is elementwise), and the engine runs
+    and converges with it. Whole-fit trajectories are NOT compared: a
+    different optimizer graph changes XLA fusion boundaries, and DIP fits
+    amplify last-ulp differences chaotically."""
+    import optax
+
+    from dip_tpu.fit.packed import pack_small
+
+    rng = np.random.default_rng(0)
+    params = {"a": jnp.asarray(rng.normal(size=(3, 4)), jnp.float32),
+              "b": jnp.asarray(rng.normal(size=(300,)), jnp.float32),
+              "c": jnp.asarray(rng.normal(size=(70000,)), jnp.float32)}
+    grads = jax.tree_util.tree_map(lambda x: x * 0.1 + 0.01, params)
+    t1, t2 = optax.adam(0.01), pack_small(optax.adam(0.01), 1 << 15)
+    s1, s2 = t1.init(params), t2.init(params)
+    for _ in range(3):
+        u1, s1 = t1.update(grads, s1)
+        u2, s2 = t2.update(grads, s2)
+        for k in params:
+            np.testing.assert_array_equal(np.asarray(u1[k]),
+                                          np.asarray(u2[k]), err_msg=k)
+
+    target = _toy_image()
+    z = get_noise(jax.random.key(1), 8, "noise", (32, 32))
+    cfg = FitConfig(num_iter=60, lr=0.01, reg_noise_std=1.0 / 30,
+                    log_every=60, pack_small_threshold=1 << 15)
+    eng = Engine(_tiny_skip(), lambda p, out, aux: mse(out, aux), cfg,
+                 default_metrics(target))
+    state = eng.init_state(jax.random.key(0), z)
+    state, hist = jax.jit(lambda s: eng.run_chunk(s, target, 60))(state)
+    assert float(hist["loss"][-1]) < float(hist["loss"][0])
+    assert np.isfinite(np.asarray(hist["loss"])).all()

@@ -37,7 +37,8 @@ def _target(size):
 def time_variant(name, size, iters, *, upsample="bilinear", metrics=True,
                  jitter=True, ema=True, compute_dtype=None, grad=True,
                  optimizer="adam", pad="reflection", skip_ch=4,
-                 fold_bn=False, rng_impl=None, unroll=1, dots=None):
+                 fold_bn=False, rng_impl=None, unroll=1, dots=None,
+                 pack=None):
     import jax
     import jax.numpy as jnp
 
@@ -59,7 +60,8 @@ def time_variant(name, size, iters, *, upsample="bilinear", metrics=True,
                     reg_noise_std=(1.0 / 30 if jitter else 0.0),
                     exp_weight=(0.99 if ema else None),
                     compute_dtype=compute_dtype, log_every=iters,
-                    rng_impl=rng_impl, scan_unroll=unroll)
+                    rng_impl=rng_impl, scan_unroll=unroll,
+                    pack_small_threshold=pack)
     eng = Engine(model, lambda p, o, a: mse(o, a), cfg,
                  default_metrics(target) if metrics else None)
     z = get_noise(jax.random.key(1), 32, "noise", (size, size))
@@ -135,6 +137,9 @@ VARIANTS = {
     # auto dispatch (product default): dots for bf16 compute
     "bf16_auto": {"compute_dtype": "bfloat16", "fold_bn": True,
                   "rng_impl": "rbg"},
+    # pack small optimizer leaves into one fused update (fit/packed.py)
+    "bf16_pack": {"compute_dtype": "bfloat16", "fold_bn": True,
+                  "rng_impl": "rbg", "pack": 1 << 15},
 }
 
 
