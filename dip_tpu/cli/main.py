@@ -112,10 +112,16 @@ def cmd_fit(args):
     else:
         raise SystemExit(f"unknown task {args.task!r}")
 
-    if args.log_every:
+    if args.log_every or args.compute_dtype:
         import dataclasses
 
-        spec.cfg = dataclasses.replace(spec.cfg, log_every=args.log_every)
+        updates = {}
+        if args.log_every:
+            updates["log_every"] = args.log_every
+        if args.compute_dtype:
+            updates["compute_dtype"] = (None if args.compute_dtype == "f32"
+                                        else args.compute_dtype)
+        spec.cfg = dataclasses.replace(spec.cfg, **updates)
 
     def cb(it, hist, state):
         msg = f"iter {it:5d}  loss {hist['loss'][-1]:.6f}"
@@ -184,6 +190,11 @@ def main(argv=None):
     f.add_argument("--resample-impl", default="xla",
                    choices=["xla", "pallas"],
                    help="sr: in-graph downsampler implementation")
+    f.add_argument("--compute-dtype", default=None,
+                   choices=["f32", "bfloat16"],
+                   help="mixed-precision forward/backward (params + loss "
+                        "stay f32); bfloat16 is ~2x faster at 512^2 with "
+                        "quality parity on the notebook recipes (RESULTS.md)")
     f.add_argument("--num-iter", type=int, default=None)
     f.add_argument("--log-every", type=int, default=None,
                    help="scan chunk size between host callbacks")
