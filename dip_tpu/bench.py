@@ -115,21 +115,29 @@ def run_bench(size: int = 512, iters: int = 100, batch: int = 1,
         from dip_tpu.parallel.queue import FitQueue
         from dip_tpu.tasks.base import TaskSpec
 
-        def make_queue(n_iters):
-            q = FitQueue()
+        # ONE FitQueue for warm-up and the timed pass: its Engine cache owns
+        # the jitted chunk program, so re-adding jobs reuses the loaded
+        # executable. (A fresh FitQueue per pass re-jits and pays the
+        # compile-cache load — tens of seconds at 512^2 — inside the timer;
+        # the warm-up must also use the SAME chunk length, since run_chunk's
+        # length is a static argument.)
+        q = FitQueue()
+
+        def add_jobs(seed0):
             for i in range(batch):
                 spec = TaskSpec(
                     name=f"img{i}", model=model,
-                    cfg=dataclasses.replace(cfg, num_iter=n_iters,
-                                            log_every=n_iters),
+                    cfg=dataclasses.replace(cfg, num_iter=iters,
+                                            log_every=iters),
                     loss_fn=loss_fn, aux=target, metrics_fn=metrics_fn,
                     input_depth=32, spatial_size=(size, size))
-                q.add(spec, jax.random.key(i))
-            return q
+                q.add(spec, jax.random.key(seed0 + i))
 
-        make_queue(warmup_iters).run()  # compile + warm
+        add_jobs(0)
+        q.run()           # compile + warm
+        add_jobs(batch)   # fresh jobs, same engines (init outside timer)
         t0 = time.perf_counter()
-        make_queue(iters).run()
+        q.run()
         dt = time.perf_counter() - t0
         total_iters = iters * batch
 
