@@ -68,10 +68,25 @@ def _keyless(state: FitState):
 
 
 def _rekey(restored, template: FitState) -> FitState:
-    # the template key carries the PRNG impl (threefry, rbg, ...): raw key
-    # data shapes differ per impl, so wrap with the same one
-    key = jax.random.wrap_key_data(jax.numpy.asarray(restored.key),
-                                   impl=jax.random.key_impl(template.key))
+    # Raw key-data shapes differ per PRNG impl (threefry: (2,) uint32,
+    # rbg/unsafe_rbg: (4,)). The checkpoint predates impl recording, so
+    # recover the impl from the saved data's shape; only when that is
+    # ambiguous-free fall back to the template's impl. This keeps
+    # checkpoints written under an older FitConfig.rng_impl default
+    # (threefry) restorable into engines built with the current default
+    # (rbg) and vice versa, instead of failing wrap_key_data on shape.
+    key_data = jax.numpy.asarray(restored.key)
+    impl = jax.random.key_impl(template.key)
+    tmpl_shape = jax.random.key_data(template.key).shape
+    if key_data.shape != tmpl_shape:
+        by_shape = {(2,): "threefry2x32", (4,): "rbg"}
+        if key_data.shape not in by_shape:
+            raise ValueError(
+                f"checkpoint PRNG key data has shape {key_data.shape}; "
+                f"expected {tmpl_shape} for impl {impl} (or a known impl's "
+                "shape to recover from)")
+        impl = by_shape[key_data.shape]
+    key = jax.random.wrap_key_data(key_data, impl=impl)
     return FitState(
         params=jax.tree_util.tree_map(jax.numpy.asarray, restored.params),
         opt_state=jax.tree_util.tree_map(jax.numpy.asarray, restored.opt_state),

@@ -85,6 +85,13 @@ class FitConfig:
     # update vector (fit/packed.py) — XLA emits a ~fixed-cost fusion per
     # leaf otherwise. None = off.
     pack_small_threshold: int | None = None
+    # Conv lowering: None = process default (ops/dispatch.py, i.e. the
+    # DIP_CONV_DOTS env at import), 'auto' = shifted-matmul dots for bf16 /
+    # XLA conv ops for f32 (the measured-best split, docs/PERF.md), 'dots' /
+    # 'conv' force one. Applied trace-time around every model trace this
+    # Engine performs, so its compiled programs reflect THIS config even if
+    # the global dispatch flags change in between.
+    conv_impl: str | None = None
 
 
 class FitState(NamedTuple):
@@ -179,6 +186,12 @@ class Engine:
         self.tx = _make_tx(cfg)
         self._chunk_jit = None
 
+    def _dispatch_ctx(self):
+        """Trace-time dispatch override for cfg.conv_impl (no-op if None)."""
+        from dip_tpu.ops import dispatch
+
+        return dispatch.override(conv_impl=self.cfg.conv_impl)
+
     # -- initialization ------------------------------------------------------
 
     def init_state(self, key: jax.Array, z: jnp.ndarray, aux: Any = None,
@@ -194,7 +207,9 @@ class Engine:
             k_run = jax.random.key(seed, impl=self.cfg.rng_impl)
         # jit the whole init: one compiled program instead of per-op dispatch
         # (matters on remote-tunneled TPU backends and 1-core CPU hosts)
-        variables = jax.jit(self.model.init)({"params": k_init, "noise": k_noise}, z)
+        with self._dispatch_ctx():
+            variables = jax.jit(self.model.init)(
+                {"params": k_init, "noise": k_noise}, z)
         trainable = {"net": variables.get("params", {})}
         if self.cfg.opt_input:
             trainable["input"] = z
@@ -235,10 +250,13 @@ class Engine:
             cd = jnp.dtype(self.cfg.compute_dtype)
             p_net = jax.tree_util.tree_map(lambda x: x.astype(cd), p_net)
             z_used = z_used.astype(cd)
-            out = self.model.apply({"params": p_net}, z_used,
-                                   rngs={"noise": noise_key})
+            with self._dispatch_ctx():
+                out = self.model.apply({"params": p_net}, z_used,
+                                       rngs={"noise": noise_key})
             return out.astype(jnp.float32)
-        return self.model.apply({"params": p_net}, z_used, rngs={"noise": noise_key})
+        with self._dispatch_ctx():
+            return self.model.apply({"params": p_net}, z_used,
+                                    rngs={"noise": noise_key})
 
     def step(self, state: FitState, aux: Any) -> tuple[FitState, dict]:
         cfg = self.cfg

@@ -28,6 +28,8 @@ class _Meta(NamedTuple):
     small: tuple          # indices of packed leaves (flatten order)
     shapes: tuple         # their shapes
     sizes: tuple          # their element counts
+    dtypes: tuple         # their dtypes (restored on unpack: jnp.concatenate
+                          # would silently promote mixed-dtype leaves)
 
 
 def _split_meta(params, threshold: int) -> _Meta:
@@ -35,7 +37,8 @@ def _split_meta(params, threshold: int) -> _Meta:
     small = tuple(i for i, l in enumerate(leaves) if l.size < threshold)
     shapes = tuple(leaves[i].shape for i in small)
     sizes = tuple(leaves[i].size for i in small)
-    return _Meta(small, shapes, sizes)
+    dtypes = tuple(leaves[i].dtype for i in small)
+    return _Meta(small, shapes, sizes, dtypes)
 
 
 def _to_inner(tree, meta: _Meta):
@@ -55,8 +58,11 @@ def _from_inner(inner_tree, like, meta: _Meta):
     packed = inner_tree["packed"]
     out = list(kept)
     off = 0
-    for i, shape, size in zip(meta.small, meta.shapes, meta.sizes):
-        out[i] = jax.lax.dynamic_slice_in_dim(packed, off, size).reshape(shape)
+    for i, shape, size, dtype in zip(meta.small, meta.shapes, meta.sizes,
+                                     meta.dtypes):
+        leaf = jax.lax.dynamic_slice_in_dim(packed, off, size).reshape(shape)
+        # undo the concat's dtype promotion (no-op when dtypes agree)
+        out[i] = leaf if leaf.dtype == dtype else leaf.astype(dtype)
         off += size
     return jax.tree_util.tree_unflatten(treedef, out)
 

@@ -1,0 +1,111 @@
+"""Trace-time dispatch flags for the conv/resample lowering choices.
+
+The hot-path lowering decisions (conv-as-dots vs XLA convolution ops,
+space-to-depth for the stride-2 input conv, the f32-dots bf16-multiply
+experiment, Pallas wgrad kernels, shifted-adds bilinear upsampling) used to
+be read straight from `os.environ` inside jitted model code.  That is a
+trap: the env is consulted at TRACE time, so mutating it after a program is
+compiled and cached silently has no effect in-process (stale dispatch).
+
+This module makes the state explicit:
+
+ - flags initialize from the same `DIP_*` env vars ONCE at import (so the
+   documented `DIP_CONV_DOTS=1 python ...` workflow still works);
+ - `set_flags()` / `override()` mutate them explicitly, for tools and tests
+   that compare variants in one process (each variant must build a fresh
+   jitted callable — a cached executable is never retraced);
+ - `FitConfig.conv_impl` threads the product-facing choice through the
+   Engine: it is applied (trace-time) around every model trace the Engine
+   performs, so an Engine's compiled programs always reflect its own config
+   regardless of global flag churn in between.
+
+Flag reference (env var -> flag, default):
+
+ - DIP_CONV_DOTS    -> conv_impl: 'auto' (dots for bf16, conv ops for f32 —
+                       the measured-best split, docs/PERF.md), '1'/'dots',
+                       '0'/'conv'.
+ - DIP_CONV_S2D     -> conv_s2d: space-to-depth stride-2 thin-channel conv,
+                       on unless '0'.
+ - DIP_DOTS_F32_BF16MUL -> dots_f32_bf16mul: bf16-multiply f32-accumulate
+                       taps for f32 dots ('1' only; measured slower than
+                       the f32 conv-op path, kept as an experiment).
+ - DIP_PALLAS_WGRAD -> pallas_wgrad: '0' (default) | '1'/'all' | '1x1' |
+                       '3x3' (measured slower end-to-end, ops/pallas_wgrad).
+ - DIP_UP_SHIFTS    -> up_shifts: shifted-adds bilinear upsample ('1' only;
+                       measured slower than the banded-matmul resize).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import os
+
+_VALID_CONV_IMPL = ("auto", "dots", "conv")
+
+
+def _conv_impl_from_env() -> str:
+    v = os.environ.get("DIP_CONV_DOTS", "")
+    return {"1": "dots", "0": "conv"}.get(v, "auto")
+
+
+_flags = {
+    "conv_impl": _conv_impl_from_env(),
+    "conv_s2d": os.environ.get("DIP_CONV_S2D", "") != "0",
+    "dots_f32_bf16mul": os.environ.get("DIP_DOTS_F32_BF16MUL", "") == "1",
+    "pallas_wgrad": os.environ.get("DIP_PALLAS_WGRAD", "0"),
+    "up_shifts": os.environ.get("DIP_UP_SHIFTS", "") == "1",
+}
+
+
+def flags() -> dict:
+    """Snapshot of the current dispatch flags."""
+    return dict(_flags)
+
+
+def set_flags(**kwargs) -> dict:
+    """Set dispatch flags; returns the PREVIOUS values of the changed keys.
+
+    Takes effect at the next trace — already-compiled programs keep the
+    lowering they were traced with.
+    """
+    prev = {}
+    for k, v in kwargs.items():
+        if v is None:
+            continue
+        if k not in _flags:
+            raise KeyError(f"unknown dispatch flag {k!r}")
+        if k == "conv_impl" and v not in _VALID_CONV_IMPL:
+            raise ValueError(f"conv_impl must be one of {_VALID_CONV_IMPL}")
+        prev[k] = _flags[k]
+        _flags[k] = v
+    return prev
+
+
+@contextlib.contextmanager
+def override(**kwargs):
+    """Temporarily set flags (the Engine wraps each model trace in this)."""
+    prev = set_flags(**kwargs)
+    try:
+        yield
+    finally:
+        _flags.update(prev)
+
+
+def conv_impl() -> str:
+    return _flags["conv_impl"]
+
+
+def conv_s2d() -> bool:
+    return _flags["conv_s2d"]
+
+
+def dots_f32_bf16mul() -> bool:
+    return _flags["dots_f32_bf16mul"]
+
+
+def pallas_wgrad_mode() -> str:
+    return _flags["pallas_wgrad"]
+
+
+def up_shifts() -> bool:
+    return _flags["up_shifts"]

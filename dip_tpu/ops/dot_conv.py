@@ -20,28 +20,37 @@ only). This mirrors how this package already lowers resampling (banded
 einsums, ops/resample.py) after this backend's grouped-conv emitter proved
 buggy in scanned programs.
 
-Enabled per-process with DIP_CONV_DOTS=1 (measured via
-tools/profile_step.py 'bf16_dots' variants before any default flip).
+Enabled via dispatch.conv_impl ('dots' or 'auto'+bf16; DIP_CONV_DOTS env /
+FitConfig.conv_impl — see ops/dispatch.py), measured via
+tools/profile_step.py 'bf16_dots' variants before any default flip.
 """
 
 from __future__ import annotations
 
-import os
-
 import jax.numpy as jnp
 from jax import lax
 
+from dip_tpu.ops import dispatch
+
 
 def _tap_dot(xs: jnp.ndarray, k2d: jnp.ndarray) -> jnp.ndarray:
-    """One tap's [N,Ho,Wo,C] @ [C,F] contraction.
+    """One tap's [N,Ho,Wo,C] @ [C,F] contraction, f32 partials.
 
-    DIP_DOTS_F32_BF16MUL=1 makes f32 taps multiply in bf16 and accumulate
-    in f32 (mimicking the XLA convolution op's default f32 handling, which
-    is single-pass bf16 — vs multi-pass bf16 emulation for f32 dots).
-    Measured: 39.4 -> 31.3 ms f32 @512^2, still behind the 28.3 ms f32
-    conv-op path, so it is opt-in and f32 stays on convolution ops."""
-    if (xs.dtype == jnp.float32
-            and os.environ.get("DIP_DOTS_F32_BF16MUL", "") == "1"):
+    bf16 taps request preferred_element_type=f32 so the cross-tap sum in
+    the callers accumulates in f32 (like the XLA convolution op, which
+    accumulates the whole window in f32) rather than rounding to bf16 at
+    every tap; callers cast back to the compute dtype once, after the sum.
+    The MXU produces f32 partials either way.
+
+    dispatch.dots_f32_bf16mul makes f32 taps multiply in bf16 and
+    accumulate in f32 (mimicking the XLA convolution op's default f32
+    handling, which is single-pass bf16 — vs multi-pass bf16 emulation for
+    f32 dots). Measured: 39.4 -> 31.3 ms f32 @512^2, still behind the
+    28.3 ms f32 conv-op path, so it is opt-in and f32 stays on conv ops."""
+    if xs.dtype == jnp.bfloat16:
+        return jnp.einsum("nhwc,cf->nhwf", xs, k2d,
+                          preferred_element_type=jnp.float32)
+    if xs.dtype == jnp.float32 and dispatch.dots_f32_bf16mul():
         return jnp.einsum("nhwc,cf->nhwf", xs.astype(jnp.bfloat16),
                           k2d.astype(jnp.bfloat16),
                           preferred_element_type=jnp.float32)
@@ -79,7 +88,7 @@ def _conv_s2d(x: jnp.ndarray, kernel: jnp.ndarray, ho: int,
             xs = xs.reshape(n, ho, wo, c)
             term = _tap_dot(xs, kernel[dy, dx])
             acc = term if acc is None else acc + term
-    return acc
+    return acc.astype(x.dtype)
 
 
 def conv2d_dots(x: jnp.ndarray, kernel: jnp.ndarray, stride: int = 1,
@@ -104,15 +113,14 @@ def conv2d_dots(x: jnp.ndarray, kernel: jnp.ndarray, stride: int = 1,
 
     if kh == kw == 1:
         xs = x[:, ::stride, ::stride, :]
-        return _tap_dot(xs, kernel[0, 0])
+        return _tap_dot(xs, kernel[0, 0]).astype(x.dtype)
 
     # NOTE: a phase-decomposed stride-2 form (split x into stride^2 phase
     # planes so each tap becomes a unit slice — 4 strided slices instead of
     # 9) is numerically correct (it passed the CPU exactness test) but
     # reproducibly faults this TPU backend at 512^2 ("TPU device error —
     # often a kernel fault"), so the naive strided-tap form stays.
-    if (stride == 2 and c <= 64
-            and os.environ.get("DIP_CONV_S2D", "") != "0"):
+    if stride == 2 and c <= 64 and dispatch.conv_s2d():
         return _conv_s2d(x, kernel, ho, wo)
     acc = None
     for dy in range(kh):
@@ -125,4 +133,4 @@ def conv2d_dots(x: jnp.ndarray, kernel: jnp.ndarray, stride: int = 1,
             )
             term = _tap_dot(xs, kernel[dy, dx])
             acc = term if acc is None else acc + term
-    return acc
+    return acc.astype(x.dtype)

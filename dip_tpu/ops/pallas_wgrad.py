@@ -52,8 +52,11 @@ _DN = ("NHWC", "HWIO", "NHWC")
 
 
 def _mode() -> str:
-    """DIP_PALLAS_WGRAD: '0' off | '1'/'all' both | '1x1' | '3x3'."""
-    return os.environ.get("DIP_PALLAS_WGRAD", "0")
+    """dispatch.pallas_wgrad_mode (DIP_PALLAS_WGRAD env at import):
+    '0' off | '1'/'all' both | '1x1' | '3x3'."""
+    from dip_tpu.ops import dispatch
+
+    return dispatch.pallas_wgrad_mode()
 
 
 def _enabled(kind: str) -> bool:
@@ -307,8 +310,12 @@ def conv2d_fast(x: jnp.ndarray, kernel: jnp.ndarray, stride: int,
     # (Measured: restricting dots to stride-1 and keeping XLA convs for the
     # stride-2 encoder layers is SLOWER — 17.58 vs 15.81 ms — because the
     # conv ops reintroduce their layout copies; all-dots wins for bf16.)
-    dots_env = os.environ.get("DIP_CONV_DOTS", "")
-    if dots_env == "1" or (dots_env != "0" and x.dtype == jnp.bfloat16):
+    # Dispatch state: ops/dispatch.py (env at import / FitConfig.conv_impl),
+    # consulted at trace time — 'auto' = dots for bf16 only.
+    from dip_tpu.ops import dispatch
+
+    impl = dispatch.conv_impl()
+    if impl == "dots" or (impl == "auto" and x.dtype == jnp.bfloat16):
         from dip_tpu.ops.dot_conv import conv2d_dots
 
         return conv2d_dots(x, kernel, stride, padding)

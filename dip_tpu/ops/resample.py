@@ -205,7 +205,9 @@ def upsample(x: jnp.ndarray, scale: int = 2, mode: str = "nearest") -> jnp.ndarr
     if mode == "bilinear":
         # measured and rejected as default: 16.59 vs 15.87 ms bf16 @512^2 —
         # XLA's banded-matmul resize fuses better than the interleave
-        if scale == 2 and os.environ.get("DIP_UP_SHIFTS", "") == "1":
+        from dip_tpu.ops import dispatch
+
+        if scale == 2 and dispatch.up_shifts():
             return _up2_bilinear_shifts(x)
         return jax.image.resize(x, (n, h * scale, w * scale, c), method="bilinear")
     raise ValueError(f"unknown upsample mode {mode!r}")

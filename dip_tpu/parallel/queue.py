@@ -20,6 +20,9 @@ via Engine's jit cache; heterogeneous fits just compile once each.
 from __future__ import annotations
 
 import dataclasses
+import functools
+import hashlib
+import types
 from typing import Any, Callable
 
 import jax
@@ -27,6 +30,62 @@ import numpy as np
 
 from dip_tpu.fit.engine import Engine, FitState
 from dip_tpu.tasks.base import TaskSpec, make_input
+
+
+def _val_key(v):
+    """Hashable descriptor of a closure-cell value, structural where safe."""
+    if isinstance(v, (int, float, str, bool, bytes, type(None))):
+        return v
+    if isinstance(v, (types.FunctionType, functools.partial)):
+        return _fn_key(v)
+    if isinstance(v, (tuple, list)):
+        return ("seq", tuple(_val_key(x) for x in v))
+    try:
+        arr = np.asarray(v)
+        if arr.dtype != object:
+            # arrays closed over by loss/metrics closures (e.g. the PSNR
+            # target in default_metrics) become CONSTANTS in the compiled
+            # program, so sharing requires equal contents — hash them
+            return ("array", arr.shape, str(arr.dtype),
+                    hashlib.sha1(arr.tobytes()).hexdigest())
+    except Exception:
+        pass
+    return v  # identity fallback (the cache dict keeps it alive)
+
+
+def _fn_key(fn):
+    """Structural cache key for a loss/metrics callable.
+
+    Two separately-constructed closures get the same key iff they trace the
+    same computation: same code object + module, and equal closed-over
+    values (arrays by content hash — a closure over a different target is a
+    DIFFERENT compiled program, since the trace embeds it as a constant).
+    Exotic callables fall back to object identity, held live by the cache
+    dict, so id()-reuse-after-GC aliasing cannot occur.
+    """
+    if fn is None:
+        return None
+    if isinstance(fn, functools.partial):
+        return ("partial", _fn_key(fn.func),
+                tuple(_val_key(a) for a in fn.args),
+                tuple(sorted((k, _val_key(v))
+                             for k, v in fn.keywords.items())))
+    if isinstance(fn, types.FunctionType):
+        try:
+            cells = tuple(_val_key(c.cell_contents)
+                          for c in (fn.__closure__ or ()))
+        except ValueError:  # empty cell
+            return fn
+        return ("fn", fn.__module__, fn.__code__, cells,
+                tuple(_val_key(d) for d in (fn.__defaults__ or ())))
+    return fn
+
+
+def engine_cache_key(spec: TaskSpec):
+    """Structural Engine-sharing key for a TaskSpec (model by dataclass
+    fields, cfg by value, callables by code + closure contents)."""
+    return (type(spec.model), repr(spec.model), spec.cfg,
+            _fn_key(spec.loss_fn), _fn_key(spec.metrics_fn))
 
 
 @dataclasses.dataclass
@@ -56,9 +115,11 @@ class FitQueue:
     def add(self, spec: TaskSpec, key: jax.Array, name: str | None = None):
         k_z, k_fit = jax.random.split(key)
         z = make_input(spec, k_z)
-        # share Engine objects (and therefore compiled chunk programs)
-        # between jobs with identical model/cfg/loss identity
-        cache_key = (id(spec.model), id(spec.loss_fn), spec.cfg)
+        # Share Engine objects (and therefore compiled chunk programs)
+        # between jobs with equivalent (model, cfg, loss, metrics) — the
+        # key is structural (engine_cache_key), so two separately-built
+        # identical specs share one compiled program.
+        cache_key = engine_cache_key(spec)
         eng = self._engines.get(cache_key)
         if eng is None:
             eng = Engine(spec.model, spec.loss_fn, spec.cfg, spec.metrics_fn)

@@ -42,11 +42,6 @@ def time_variant(name, size, iters, *, upsample="bilinear", metrics=True,
     import jax
     import jax.numpy as jnp
 
-    # dots: None = auto (the product default: bf16 only), True/False force
-    if dots is None:
-        os.environ.pop("DIP_CONV_DOTS", None)
-    else:
-        os.environ["DIP_CONV_DOTS"] = "1" if dots else "0"
     from dip_tpu.fit.engine import Engine, FitConfig, default_metrics
     from dip_tpu.models import Skip
     from dip_tpu.ops.losses import mse
@@ -56,12 +51,16 @@ def time_variant(name, size, iters, *, upsample="bilinear", metrics=True,
     model = Skip(num_channels_down=[128] * 5, num_channels_up=[128] * 5,
                  num_channels_skip=[skip_ch] * 5, upsample_mode=upsample,
                  pad=pad, fold_bn=fold_bn)
+    # dots: None = auto (the product default: bf16 only), True/False force —
+    # threaded through FitConfig.conv_impl so each variant's fresh Engine
+    # traces with its own lowering (env mutation would be stale in-process)
+    conv_impl = {None: "auto", True: "dots", False: "conv"}[dots]
     cfg = FitConfig(num_iter=iters, lr=0.01, optimizer=optimizer,
                     reg_noise_std=(1.0 / 30 if jitter else 0.0),
                     exp_weight=(0.99 if ema else None),
                     compute_dtype=compute_dtype, log_every=iters,
                     rng_impl=rng_impl, scan_unroll=unroll,
-                    pack_small_threshold=pack)
+                    pack_small_threshold=pack, conv_impl=conv_impl)
     eng = Engine(model, lambda p, o, a: mse(o, a), cfg,
                  default_metrics(target) if metrics else None)
     z = get_noise(jax.random.key(1), 32, "noise", (size, size))
