@@ -12,16 +12,20 @@ from __future__ import annotations
 import ast
 import os
 
-_DEFAULT_PATHS = (
-    os.environ.get("DIP_IMAGENET_CLASSMAP", ""),
-    "/root/reference/data/imagenet1000_clsid_to_human.txt",
-)
+def _default_paths() -> tuple[str, ...]:
+    from dip_tpu.data import reference_data_dir
+
+    ref = reference_data_dir(required=False)
+    return (
+        os.environ.get("DIP_IMAGENET_CLASSMAP", ""),
+        os.path.join(ref, "imagenet1000_clsid_to_human.txt") if ref else "",
+    )
 
 
 def load_class_map(path: str | None = None) -> dict[int, str]:
     """Parse a {class_id: label} map in the reference's file format
     (data/imagenet1000_clsid_to_human.txt: a Python dict literal)."""
-    candidates = [path] if path else [p for p in _DEFAULT_PATHS if p]
+    candidates = [path] if path else [p for p in _default_paths() if p]
     for p in candidates:
         if p and os.path.exists(p):
             with open(p) as f:

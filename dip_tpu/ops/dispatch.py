@@ -29,6 +29,12 @@ Flag reference (env var -> flag, default):
  - DIP_DOTS_F32_BF16MUL -> dots_f32_bf16mul: bf16-multiply f32-accumulate
                        taps for f32 dots ('1' only; measured slower than
                        the f32 conv-op path, kept as an experiment).
+ - DIP_DOTS_ACC_F32 -> dots_acc_f32: f32 cross-tap accumulation for bf16
+                       dots ('1' only; measured 13.9 -> 17.7 ms/step bf16
+                       @512^2 — the f32 tap intermediates double the
+                       HBM-bound tap-sum traffic — so bf16 tap sums stay
+                       the default; quality parity validated on the
+                       real-image recipes).
  - DIP_PALLAS_WGRAD -> pallas_wgrad: '0' (default) | '1'/'all' | '1x1' |
                        '3x3' (measured slower end-to-end, ops/pallas_wgrad).
  - DIP_UP_SHIFTS    -> up_shifts: shifted-adds bilinear upsample ('1' only;
@@ -52,6 +58,7 @@ _flags = {
     "conv_impl": _conv_impl_from_env(),
     "conv_s2d": os.environ.get("DIP_CONV_S2D", "") != "0",
     "dots_f32_bf16mul": os.environ.get("DIP_DOTS_F32_BF16MUL", "") == "1",
+    "dots_acc_f32": os.environ.get("DIP_DOTS_ACC_F32", "") == "1",
     "pallas_wgrad": os.environ.get("DIP_PALLAS_WGRAD", "0"),
     "up_shifts": os.environ.get("DIP_UP_SHIFTS", "") == "1",
 }
@@ -101,6 +108,10 @@ def conv_s2d() -> bool:
 
 def dots_f32_bf16mul() -> bool:
     return _flags["dots_f32_bf16mul"]
+
+
+def dots_acc_f32() -> bool:
+    return _flags["dots_acc_f32"]
 
 
 def pallas_wgrad_mode() -> str:

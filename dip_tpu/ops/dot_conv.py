@@ -34,13 +34,18 @@ from dip_tpu.ops import dispatch
 
 
 def _tap_dot(xs: jnp.ndarray, k2d: jnp.ndarray) -> jnp.ndarray:
-    """One tap's [N,Ho,Wo,C] @ [C,F] contraction, f32 partials.
+    """One tap's [N,Ho,Wo,C] @ [C,F] contraction.
 
-    bf16 taps request preferred_element_type=f32 so the cross-tap sum in
-    the callers accumulates in f32 (like the XLA convolution op, which
-    accumulates the whole window in f32) rather than rounding to bf16 at
-    every tap; callers cast back to the compute dtype once, after the sum.
-    The MXU produces f32 partials either way.
+    bf16 taps: each einsum's internal MXU accumulation is f32, but the
+    cross-tap sum in the callers runs in the tap OUTPUT dtype. Keeping that
+    bf16 (the default) was re-measured deliberately: requesting
+    preferred_element_type=f32 so the 9-tap sum accumulates in f32 (like
+    the XLA conv op does for its whole window) costs 13.9 -> 17.7 ms/step
+    bf16 @512^2 (73.6 -> 56.7 it/s) because the step is HBM-bound and the
+    f32 intermediates double the tap-sum traffic. Quality parity of bf16
+    tap-sums is validated on the real-image recipes (RESULTS.md); opt in
+    to f32 tap accumulation with dispatch.dots_acc_f32 when fidelity
+    matters more than speed.
 
     dispatch.dots_f32_bf16mul makes f32 taps multiply in bf16 and
     accumulate in f32 (mimicking the XLA convolution op's default f32
@@ -48,8 +53,10 @@ def _tap_dot(xs: jnp.ndarray, k2d: jnp.ndarray) -> jnp.ndarray:
     f32 dots). Measured: 39.4 -> 31.3 ms f32 @512^2, still behind the
     28.3 ms f32 conv-op path, so it is opt-in and f32 stays on conv ops."""
     if xs.dtype == jnp.bfloat16:
-        return jnp.einsum("nhwc,cf->nhwf", xs, k2d,
-                          preferred_element_type=jnp.float32)
+        if dispatch.dots_acc_f32():
+            return jnp.einsum("nhwc,cf->nhwf", xs, k2d,
+                              preferred_element_type=jnp.float32)
+        return jnp.einsum("nhwc,cf->nhwf", xs, k2d)
     if xs.dtype == jnp.float32 and dispatch.dots_f32_bf16mul():
         return jnp.einsum("nhwc,cf->nhwf", xs.astype(jnp.bfloat16),
                           k2d.astype(jnp.bfloat16),

@@ -57,3 +57,23 @@ def test_missing_map_raises():
     os.environ.pop("DIP_IMAGENET_CLASSMAP", None)
     with pytest.raises((FileNotFoundError, KeyError)):
         resolve_class("zebra", "/nonexistent/file")
+
+
+def test_reference_data_dir_contract(monkeypatch, cmap_path):
+    """The reference-data mount is env-overridable and fails actionably
+    when absent (VERDICT r2 item 9: no silent hard-coded path)."""
+    from dip_tpu.data import reference_data_dir
+
+    monkeypatch.setenv("DIP_REFERENCE_DATA", "/nonexistent/mount")
+    assert reference_data_dir(required=False) is None
+    with pytest.raises(FileNotFoundError, match="DIP_REFERENCE_DATA"):
+        reference_data_dir()
+    # class-map default path follows the redirected mount: with the mount
+    # absent and no DIP_IMAGENET_CLASSMAP, loading falls through to the
+    # actionable error rather than the old hard-coded /root/reference path
+    monkeypatch.delenv("DIP_IMAGENET_CLASSMAP", raising=False)
+    with pytest.raises(FileNotFoundError):
+        load_class_map()
+    d = os.path.dirname(cmap_path)
+    monkeypatch.setenv("DIP_REFERENCE_DATA", d)
+    assert reference_data_dir() == d

@@ -23,6 +23,8 @@ import time
 
 import numpy as np
 
+# resolved lazily so a missing mount fails with ONE actionable message
+# (main() validates up front via dip_tpu.data.reference_data_dir)
 DATA = os.environ.get("DIP_REFERENCE_DATA", "/root/reference/data")
 OUTDIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "results")
 
@@ -250,8 +252,12 @@ def main(argv=None):
                    help="e.g. bfloat16: run recipes in mixed precision "
                         "(records tagged with the dtype)")
     args = p.parse_args(argv)
-    global COMPUTE_DTYPE
+    global COMPUTE_DTYPE, DATA
     COMPUTE_DTYPE = args.compute_dtype
+
+    from dip_tpu.data import reference_data_dir
+
+    DATA = reference_data_dir()  # raises with an actionable message if absent
 
     names = list(RECIPES) if not args.only else args.only.split(",")
     os.makedirs(OUTDIR, exist_ok=True)
