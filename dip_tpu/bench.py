@@ -77,9 +77,11 @@ def run_bench(size: int = 512, iters: int = 100, batch: int = 1,
         eng = Engine(model, loss_fn, cfg, metrics_fn)
         z = get_noise(jax.random.key(1), 32, "noise", (size, size))
         state = eng.init_state(jax.random.key(0), z)
-        chunk = jax.jit(lambda s: eng.run_chunk(s, target, iters))
-        wchunk = jax.jit(lambda s: eng.run_chunk(s, target, warmup_iters))
-        state, _ = wchunk(state)  # compile + warm
+        # the same (state, aux, length) chunk program FitQueue uses: one
+        # compiled executable serves both the b1 and the b8 rows
+        raw_chunk = eng._get_chunk_jit()
+        chunk = lambda s: raw_chunk(s, target, iters)
+        state, _ = chunk(state)  # compile + warm
         jax.block_until_ready(state.params)
         # best-of-3: the tunneled backend has sporadic multi-second stalls
         dt = float("inf")
@@ -154,6 +156,25 @@ def run_bench(size: int = 512, iters: int = 100, batch: int = 1,
         "vs_ref_gpu_estimate": round(
             ips / REFERENCE_GPU_ESTIMATE_ITERS_PER_SEC, 2),
     }
+    if print_json:
+        print(json.dumps(result))
+    return result
+
+
+def run_full(size: int = 512, iters: int = 100, batch: int = 8,
+             print_json: bool = True) -> dict:
+    """The full headline schema in ONE JSON line: b1 bf16 (the headline
+    metric/value), plus `b1_f32` and `b{batch}_queue_aggregate` extras so a
+    single driver invocation records all three rows (VERDICT r2 item 1)."""
+    r_bf16 = run_bench(size, iters, 1, print_json=False,
+                       compute_dtype="bfloat16")
+    r_f32 = run_bench(size, iters, 1, print_json=False, compute_dtype=None)
+    r_bn = run_bench(size, iters, batch, print_json=False,
+                     compute_dtype="bfloat16")
+    result = dict(r_bf16)
+    result["b1_f32"] = r_f32["value"]
+    result[f"b{batch}_queue_aggregate"] = r_bn["value"]
+    result["b_queue"] = batch
     if print_json:
         print(json.dumps(result))
     return result

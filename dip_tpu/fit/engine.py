@@ -185,6 +185,7 @@ class Engine:
         self.metrics_fn = metrics_fn
         self.tx = _make_tx(cfg)
         self._chunk_jit = None
+        self._render_jit = None
 
     def _dispatch_ctx(self):
         """Trace-time dispatch override for cfg.conv_impl (no-op if None)."""
@@ -416,9 +417,19 @@ class Engine:
     # -- rendering -------------------------------------------------------------
 
     def render(self, state: FitState) -> jnp.ndarray:
-        """Final forward pass with the saved (un-jittered) input."""
-        z = state.params["input"] if self.cfg.opt_input else state.z
-        return self._forward(state.params, z, jax.random.key(0), None)
+        """Final forward pass with the saved (un-jittered) input.
+
+        Jitted and cached: an eager per-op forward is hundreds of device
+        dispatches, which costs *seconds* per call on remote-tunneled
+        backends — unjitted renders were the entire FitQueue b8 "slowdown"
+        (9 it/s aggregate vs 75 once renders are compiled; /tmp qdiag,
+        round 3)."""
+        if self._render_jit is None:
+            def _render(state):
+                z = state.params["input"] if self.cfg.opt_input else state.z
+                return self._forward(state.params, z, jax.random.key(0), None)
+            self._render_jit = jax.jit(_render)
+        return self._render_jit(state)
 
 
 # ---------------------------------------------------------------------------
