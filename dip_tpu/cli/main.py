@@ -25,19 +25,14 @@ def _load(path, d=32):
     return pil_to_np(crop_image(load_image(path), d=d))
 
 
-def cmd_fit(args):
-    import jax
-
+def _build_spec(args, image):
+    """One TaskSpec for one input image path (the per-image body of `fit`)."""
     from dip_tpu.tasks import denoise, flash_no_flash, inpaint, restore, super_resolve
-    from dip_tpu.tasks.base import run_task
-    from dip_tpu.utils.image_io import hwc_to_nhwc, nhwc_to_hwc, save_image
+    from dip_tpu.utils.image_io import hwc_to_nhwc
     from dip_tpu.utils.masks import get_bernoulli_mask, get_text_mask
 
-    key = jax.random.key(args.seed)
-    t0 = time.time()
-
     if args.task == "denoise":
-        img = _load(args.image)
+        img = _load(image)
         if args.sigma > 0:
             noisy = denoise.get_noisy_image(img, args.sigma / 255.0)
             gt = hwc_to_nhwc(img)
@@ -46,7 +41,7 @@ def cmd_fit(args):
         spec = denoise.task(hwc_to_nhwc(noisy), preset=args.preset or "f16",
                             gt=gt, num_iter=args.num_iter)
     elif args.task == "inpaint":
-        img = _load(args.image, d=64)
+        img = _load(image, d=64)
         if args.mask == "text":
             mask = get_text_mask(img.shape)
         elif args.mask.startswith("bernoulli:"):
@@ -61,21 +56,21 @@ def cmd_fit(args):
                             gt=hwc_to_nhwc(img),
                             num_iter=args.num_iter)
     elif args.task == "restore":
-        img = _load(args.image, d=64)
+        img = _load(image, d=64)
         frac = 0.5 if (args.preset or "barbara") == "barbara" else 0.98
         mask = get_bernoulli_mask(img.shape, zero_fraction=frac)
         spec = restore.task(hwc_to_nhwc(img * mask), hwc_to_nhwc(mask),
                             preset=args.preset or "barbara",
                             num_iter=args.num_iter, gt=hwc_to_nhwc(img))
     elif args.task == "sr":
-        imgs = super_resolve.load_lr_hr(args.image, -1, args.factor, "CROP")
+        imgs = super_resolve.load_lr_hr(image, -1, args.factor, "CROP")
         spec = super_resolve.task(hwc_to_nhwc(imgs["LR_np"]),
                                   factor=args.factor,
                                   hr_gt=hwc_to_nhwc(imgs["HR_np"]),
                                   num_iter=args.num_iter,
                                   resample_impl=args.resample_impl)
     elif args.task == "flash_no_flash":
-        flash = _load(args.image)
+        flash = _load(image)
         noflash = _load(args.mask)  # --mask doubles as the second input
         spec = flash_no_flash.task(hwc_to_nhwc(flash), hwc_to_nhwc(noflash),
                                    num_iter=args.num_iter or 601)
@@ -86,7 +81,7 @@ def cmd_fit(args):
         layers = tuple(args.layer.split(",")) if args.layer else ("fc6",)
         imsize = args.imsize or (227 if args.backbone.startswith("alexnet")
                                  else 224)
-        pil = load_image(args.image).resize((imsize, imsize))
+        pil = load_image(image).resize((imsize, imsize))
         spec = feature_inversion.task(
             hwc_to_nhwc(pil_to_np(pil)), backbone=args.backbone,
             layers=layers, weights_path=args.weights, imsize=imsize,
@@ -122,13 +117,65 @@ def cmd_fit(args):
             updates["compute_dtype"] = (None if args.compute_dtype == "f32"
                                         else args.compute_dtype)
         spec.cfg = dataclasses.replace(spec.cfg, **updates)
+    return spec
+
+
+def _hist_line(prefix, it, hist):
+    msg = f"{prefix}iter {it:5d}  loss {hist['loss'][-1]:.6f}"
+    for k in ("psnr_gt", "psnr_hr", "psnr_full"):
+        if k in hist:
+            msg += f"  {k} {hist[k][-1]:.2f} dB"
+    return msg
+
+
+def _suffixed(out_path: str, name: str) -> str:
+    import os
+
+    stem, ext = os.path.splitext(out_path)
+    return f"{stem}_{name}{ext or '.png'}"
+
+
+def cmd_fit(args):
+    import jax
+
+    from dip_tpu.tasks.base import run_task
+    from dip_tpu.utils.image_io import nhwc_to_hwc, save_image
+
+    key = jax.random.key(args.seed)
+    t0 = time.time()
+    images = args.image.split(",") if args.image else [None]
+
+    if len(images) > 1:
+        # many independent fits on one chip: pipeline through FitQueue (each
+        # fit keeps its own fully-optimized scanned program; chunks from
+        # different fits overlap via async dispatch — parallel/queue.py)
+        import os
+
+        from dip_tpu.parallel.queue import FitQueue
+
+        q = FitQueue(callback=lambda name, it, hist: print(
+            _hist_line(f"[{name}] ", it, hist), flush=True))
+        total_iters = 0
+        for i, image in enumerate(images):
+            spec = _build_spec(args, image)
+            name = os.path.splitext(os.path.basename(image))[0]
+            q.add(spec, jax.random.fold_in(key, i), name=name)
+            total_iters += spec.cfg.num_iter
+        results = q.run()
+        dt = time.time() - t0
+        print(f"done: {len(images)} fits, {total_iters} total iters in "
+              f"{dt:.1f}s ({total_iters / dt:.1f} aggregate it/s)")
+        for name, (out, _, _) in results.items():
+            if args.out:
+                path = _suffixed(args.out, name)
+                save_image(path, np.clip(nhwc_to_hwc(out), 0, 1))
+                print(f"saved {path}")
+        return
+
+    spec = _build_spec(args, images[0])
 
     def cb(it, hist, state):
-        msg = f"iter {it:5d}  loss {hist['loss'][-1]:.6f}"
-        for k in ("psnr_gt", "psnr_hr", "psnr_full"):
-            if k in hist:
-                msg += f"  {k} {hist[k][-1]:.2f} dB"
-        print(msg, flush=True)
+        print(_hist_line("", it, hist), flush=True)
         if args.save_ckpt:
             from dip_tpu.fit.checkpoint import save_fit_state
 
@@ -157,10 +204,20 @@ def cmd_bench(args):
 
 
 def cmd_eval_sr(args):
-    from dip_tpu.eval.sr_eval import eval_sr_dataset
+    if args.fleet:
+        # shape-grouped fleet: each same-shape group runs as ONE program
+        # with the image axis sharded over the device mesh
+        from dip_tpu.eval.sr_eval import eval_sr_dataset_sharded
+        from dip_tpu.parallel.mesh import make_mesh
 
-    res = eval_sr_dataset(args.dir, factor=args.factor,
-                          num_iter=args.num_iter)
+        res = eval_sr_dataset_sharded(args.dir, make_mesh(),
+                                      factor=args.factor,
+                                      num_iter=args.num_iter)
+    else:
+        from dip_tpu.eval.sr_eval import eval_sr_dataset
+
+        res = eval_sr_dataset(args.dir, factor=args.factor,
+                              num_iter=args.num_iter)
     print(f"mean PSNR-Y: {res.mean_psnr_y:.3f} dB")
     print(res.latex_row())
 
@@ -179,7 +236,10 @@ def main(argv=None):
                    choices=["denoise", "inpaint", "restore", "sr",
                             "flash_no_flash", "feature_inversion",
                             "activation_max"])
-    f.add_argument("--image", default=None)
+    f.add_argument("--image", default=None,
+                   help="input image path; a comma-separated list runs many "
+                        "independent fits pipelined on one chip (FitQueue), "
+                        "outputs saved as OUT_<name>.png")
     f.add_argument("--mask", default="text",
                    help="inpaint: mask path | 'text' | 'bernoulli:FRAC'; "
                         "flash_no_flash: the no-flash image path")
@@ -235,6 +295,9 @@ def main(argv=None):
     e.add_argument("--dir", required=True)
     e.add_argument("--factor", type=int, default=4)
     e.add_argument("--num-iter", type=int, default=None)
+    e.add_argument("--fleet", action="store_true",
+                   help="shard same-shape image groups over the device mesh "
+                        "(one fit per device; eval/sr_eval.py)")
     e.set_defaults(fn=cmd_eval_sr)
 
     args = p.parse_args(argv)

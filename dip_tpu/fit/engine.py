@@ -92,6 +92,10 @@ class FitConfig:
     # Engine performs, so its compiled programs reflect THIS config even if
     # the global dispatch flags change in between.
     conv_impl: str | None = None
+    # Fused upsample2x->conv3x3 decoder seam (ops/up_conv.py): None =
+    # process default (DIP_UP_CONV env), 'auto' = on whenever the dots
+    # lowering is active for the trace dtype, 'on'/'off' force.
+    up_conv: str | None = None
 
 
 class FitState(NamedTuple):
@@ -188,10 +192,12 @@ class Engine:
         self._render_jit = None
 
     def _dispatch_ctx(self):
-        """Trace-time dispatch override for cfg.conv_impl (no-op if None)."""
+        """Trace-time dispatch override for cfg.conv_impl / cfg.up_conv
+        (no-op for None fields)."""
         from dip_tpu.ops import dispatch
 
-        return dispatch.override(conv_impl=self.cfg.conv_impl)
+        return dispatch.override(conv_impl=self.cfg.conv_impl,
+                                 up_conv=self.cfg.up_conv)
 
     # -- initialization ------------------------------------------------------
 

@@ -27,6 +27,7 @@ from dip_tpu.ops.border_conv import can_borderfix, conv2d_borderfix
 from dip_tpu.ops.pad import pad2d
 from dip_tpu.ops.pallas_wgrad import conv2d_fast
 from dip_tpu.ops.resample import avg_pool, downsample, max_pool, upsample
+from dip_tpu.ops.up_conv import Up2, up2_conv3x3, up2_moments
 
 
 # ---------------------------------------------------------------------------
@@ -108,12 +109,19 @@ class TrainBatchNorm(nn.Module):
                  if self.use_scale else None)
         bias = (self.param("bias", nn.initializers.zeros, (c,))
                 if self.use_bias else None)
+
+        def moments(p):
+            # Up2 parts (virtual 2x upsample, ops/up_conv.py): HR moments
+            # computed on the LR tensor, the upsampled tensor never exists
+            if isinstance(p, Up2):
+                return up2_moments(p.x, p.mode)
+            return jnp.mean(p, axis=(0, 1, 2)), jnp.var(p, axis=(0, 1, 2))
+
         if as_affine:
             ss, ts, off = [], [], 0
             for p in xs:
                 ci = p.shape[-1]
-                mean = jnp.mean(p, axis=(0, 1, 2))
-                var = jnp.var(p, axis=(0, 1, 2))
+                mean, var = moments(p)
                 s = jax.lax.rsqrt(var + self.eps)
                 if scale is not None:
                     s = s * scale[off:off + ci]
@@ -129,13 +137,22 @@ class TrainBatchNorm(nn.Module):
         out, off = [], 0
         for p in xs:
             ci = p.shape[-1]
-            mean = jnp.mean(p, axis=(0, 1, 2))
-            var = jnp.var(p, axis=(0, 1, 2))
-            y = (p - mean) * jax.lax.rsqrt(var + self.eps)
-            if scale is not None:
-                y = y * scale[off:off + ci]
-            if bias is not None:
-                y = y + bias[off:off + ci]
+            mean, var = moments(p)
+            if isinstance(p, Up2):
+                # per-channel affines commute with upsampling: stay virtual
+                s = jax.lax.rsqrt(var + self.eps)
+                if scale is not None:
+                    s = s * scale[off:off + ci]
+                t = -mean * s
+                if bias is not None:
+                    t = t + bias[off:off + ci]
+                y = p.affine(s, t)
+            else:
+                y = (p - mean) * jax.lax.rsqrt(var + self.eps)
+                if scale is not None:
+                    y = y * scale[off:off + ci]
+                if bias is not None:
+                    y = y + bias[off:off + ci]
             out.append(y)
             off += ci
         return out if parts else out[0]
@@ -257,7 +274,13 @@ class Conv(nn.Module):
             kp = kernel[:, :, off:off + ci, :] if parts_in else kernel
             if in_scale is not None:
                 kp = kp * in_scale[off:off + ci].astype(kp.dtype)[None, None, :, None]
-            if self.pad in ("reflection", "replication") and to_pad > 0:
+            if isinstance(p, Up2):
+                # fused upsample2x -> conv3x3 (ops/up_conv.py): the upsampled
+                # tensor never materializes; the Skip decoder gates creation
+                # of Up2 parts on ks == 3, stride == 1, reflect/replicate pad
+                assert ks == 3 and stride == 1, (ks, stride)
+                yi = up2_conv3x3(p.x, kp, p.mode, self.pad)
+            elif self.pad in ("reflection", "replication") and to_pad > 0:
                 if can_borderfix(ks, stride, p.shape[1], p.shape[2], self.pad):
                     # zero-pad conv + strip corrections: exact, and never
                     # materializes the (H+2, W+2) padded tensor

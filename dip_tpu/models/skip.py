@@ -96,14 +96,33 @@ class Skip(nn.Module):
             x = cba(x, self.num_channels_down[i], k_down[i])
 
         # --- decoder (up pass) ----------------------------------------------
+        from dip_tpu.ops import dispatch
+        from dip_tpu.ops.up_conv import Up2, can_fuse_up2
+
         u = x
         for i in reversed(range(n_scales)):
-            u = upsample(u, 2, up_modes[i])
-            if skips[i] is not None:
-                if self.fuse_concat:
-                    u = crop_to_min([skips[i], u])  # list: virtual concat
-                else:
-                    u = concat_cropped([skips[i], u])
+            # Fused upsample2x->conv seam (ops/up_conv.py): the decoder conv
+            # consumes the LR tensor directly through per-phase effective
+            # kernels; the upsampled HR input (and its resize/pad ops, fwd
+            # and bwd) never exist. Exact; gated on the dots lowering.
+            fuse_up = (
+                dispatch.up_conv_on(u.dtype)
+                and can_fuse_up2(up_modes[i], k_up[i], 1, self.pad,
+                                 u.shape[1], u.shape[2])
+                and (skips[i] is None
+                     or (self.fuse_concat and skips[i].shape[1:3]
+                         == (2 * u.shape[1], 2 * u.shape[2])))
+            )
+            if fuse_up:
+                uu = Up2(u, up_modes[i])
+                u = [skips[i], uu] if skips[i] is not None else uu
+            else:
+                u = upsample(u, 2, up_modes[i])
+                if skips[i] is not None:
+                    if self.fuse_concat:
+                        u = crop_to_min([skips[i], u])  # list: virtual concat
+                    else:
+                        u = concat_cropped([skips[i], u])
             foldable = self.pad in ("reflection", "replication") or k_up[i] == 1
             if self.fold_bn and foldable:
                 u, s, t = TrainBatchNorm()(u, as_affine=True)

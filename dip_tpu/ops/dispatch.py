@@ -39,6 +39,10 @@ Flag reference (env var -> flag, default):
                        '3x3' (measured slower end-to-end, ops/pallas_wgrad).
  - DIP_UP_SHIFTS    -> up_shifts: shifted-adds bilinear upsample ('1' only;
                        measured slower than the banded-matmul resize).
+ - DIP_UP_CONV      -> up_conv: fused upsample2x->conv3x3 decoder seam
+                       (ops/up_conv.py). 'auto' (default: on whenever the
+                       dots conv lowering is active for the trace dtype),
+                       '1'/'on', '0'/'off'.
 """
 
 from __future__ import annotations
@@ -61,6 +65,8 @@ _flags = {
     "dots_acc_f32": os.environ.get("DIP_DOTS_ACC_F32", "") == "1",
     "pallas_wgrad": os.environ.get("DIP_PALLAS_WGRAD", "0"),
     "up_shifts": os.environ.get("DIP_UP_SHIFTS", "") == "1",
+    "up_conv": {"1": "on", "on": "on", "0": "off", "off": "off"}.get(
+        os.environ.get("DIP_UP_CONV", ""), "auto"),
 }
 
 
@@ -83,6 +89,8 @@ def set_flags(**kwargs) -> dict:
             raise KeyError(f"unknown dispatch flag {k!r}")
         if k == "conv_impl" and v not in _VALID_CONV_IMPL:
             raise ValueError(f"conv_impl must be one of {_VALID_CONV_IMPL}")
+        if k == "up_conv" and v not in ("auto", "on", "off"):
+            raise ValueError("up_conv must be 'auto', 'on' or 'off'")
         prev[k] = _flags[k]
         _flags[k] = v
     return prev
@@ -120,3 +128,16 @@ def pallas_wgrad_mode() -> str:
 
 def up_shifts() -> bool:
     return _flags["up_shifts"]
+
+
+def up_conv_on(dtype) -> bool:
+    """Whether the fused upsample2x->conv3x3 seam is active for this trace
+    dtype. 'auto' ties it to the dots conv lowering (same rationale: both
+    trade convolution-op layouts for natural dot_general layouts)."""
+    v = _flags["up_conv"]
+    if v == "on":
+        return True
+    if v == "off":
+        return False
+    impl = _flags["conv_impl"]
+    return impl == "dots" or (impl == "auto" and str(dtype) == "bfloat16")

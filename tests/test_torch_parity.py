@@ -79,7 +79,9 @@ def t_cba(x, pp, features_unused, stride=1):
 
 
 def torch_skip_forward(params, x_nchw, cfg):
-    pp = _Params(params)
+    # `params` is a flax params dict, or any walker with .conv()/.bn()
+    # (test_lbfgs_dip reuses this forward with live torch Parameters)
+    pp = params if hasattr(params, "conv") else _Params(params)
     n_scales = len(cfg["num_channels_down"])
     skips = []
     x = x_nchw

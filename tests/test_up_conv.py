@@ -1,0 +1,139 @@
+"""Exactness of the fused upsample2x->conv3x3 decoder seam (ops/up_conv.py).
+
+Reference semantics: conv_valid(pad1(upsample(x, 2, mode)), W) with the
+package's own unfused ops — upsample (resample.py, torch align_corners=False
+bilinear / nearest), pad2d, lax conv. The fused phase form must match in
+forward AND gradients for every (mode, pad, size) combination the Skip
+decoder can gate it on, including the reflect-pad boundary corrections.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax import lax
+
+from dip_tpu.ops.pad import pad2d
+from dip_tpu.ops.resample import upsample
+from dip_tpu.ops.up_conv import Up2, up2_conv3x3, up2_moments
+
+_DN = ("NHWC", "HWIO", "NHWC")
+
+
+def _unfused(x, kernel, up_mode, pad_mode):
+    y = upsample(x, 2, up_mode)
+    y = pad2d(y, 1, pad_mode)
+    return lax.conv_general_dilated(y, kernel, (1, 1), "VALID",
+                                    dimension_numbers=_DN,
+                                    precision=lax.Precision.HIGHEST)
+
+
+@pytest.mark.parametrize("up_mode", ["bilinear", "nearest"])
+@pytest.mark.parametrize("pad_mode", ["reflection", "replication"])
+@pytest.mark.parametrize("hw", [(2, 2), (3, 5), (8, 8), (5, 2)])
+def test_up2_conv3x3_matches_unfused(up_mode, pad_mode, hw):
+    h, w = hw
+    rng = np.random.default_rng(hash((up_mode, pad_mode, h, w)) % 2**32)
+    x = jnp.asarray(rng.normal(size=(1, h, w, 5)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(3, 3, 5, 4)).astype(np.float32))
+
+    want = _unfused(x, k, up_mode, pad_mode)
+    got = up2_conv3x3(x, k, up_mode, pad_mode)
+    assert got.shape == want.shape == (1, 2 * h, 2 * w, 4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("up_mode", ["bilinear", "nearest"])
+def test_up2_conv3x3_gradients_match(up_mode):
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(1, 6, 5, 3)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(3, 3, 3, 2)).astype(np.float32))
+    cot = jnp.asarray(rng.normal(size=(1, 12, 10, 2)).astype(np.float32))
+
+    def loss_fused(x, k):
+        return jnp.sum(up2_conv3x3(x, k, up_mode, "reflection") * cot)
+
+    def loss_ref(x, k):
+        return jnp.sum(_unfused(x, k, up_mode, "reflection") * cot)
+
+    gx_f, gk_f = jax.grad(loss_fused, argnums=(0, 1))(x, k)
+    gx_r, gk_r = jax.grad(loss_ref, argnums=(0, 1))(x, k)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r),
+                               rtol=3e-5, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(gk_f), np.asarray(gk_r),
+                               rtol=3e-5, atol=3e-5)
+
+
+@pytest.mark.parametrize("up_mode", ["bilinear", "nearest"])
+@pytest.mark.parametrize("hw", [(2, 2), (3, 7), (8, 8)])
+def test_up2_moments_exact(up_mode, hw):
+    h, w = hw
+    rng = np.random.default_rng(h * 100 + w)
+    x = jnp.asarray(rng.normal(size=(1, h, w, 6)).astype(np.float32))
+    y = upsample(x, 2, up_mode)
+    mean, var = up2_moments(x, up_mode)
+    np.testing.assert_allclose(np.asarray(mean),
+                               np.asarray(jnp.mean(y, axis=(0, 1, 2))),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(var),
+                               np.asarray(jnp.var(y, axis=(0, 1, 2))),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_up2_affine_commutes():
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(1, 4, 4, 3)).astype(np.float32))
+    s = jnp.asarray([1.5, -0.5, 2.0], dtype=jnp.float32)
+    t = jnp.asarray([0.1, -0.2, 0.3], dtype=jnp.float32)
+    u = Up2(x, "bilinear")
+    np.testing.assert_allclose(
+        np.asarray(u.affine(s, t).materialize()),
+        np.asarray(upsample(x, 2, "bilinear") * s + t),
+        rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("fold_bn", [True, False])
+@pytest.mark.parametrize("up_mode", ["bilinear", "nearest"])
+def test_skip_fused_seam_matches_unfused(fold_bn, up_mode):
+    """Whole-model check: Skip with the fused seam on vs off, same params."""
+    from dip_tpu.models import Skip
+    from dip_tpu.ops import dispatch
+
+    model = Skip(num_channels_down=[8, 8], num_channels_up=[8, 8],
+                 num_channels_skip=[2, 2], upsample_mode=up_mode,
+                 pad="reflection", fold_bn=fold_bn)
+    z = jax.random.normal(jax.random.key(0), (1, 16, 16, 4))
+    with dispatch.override(up_conv="off"):
+        params = model.init(jax.random.key(1), z)
+        want = model.apply(params, z)
+    with dispatch.override(up_conv="on"):
+        got = model.apply(params, z)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-5, atol=5e-5)
+
+
+def test_skip_fused_seam_grads_match():
+    from dip_tpu.models import Skip
+    from dip_tpu.ops import dispatch
+
+    model = Skip(num_channels_down=[8, 8], num_channels_up=[8, 8],
+                 num_channels_skip=[2, 2], upsample_mode="bilinear",
+                 pad="reflection")
+    z = jax.random.normal(jax.random.key(0), (1, 16, 16, 4))
+    tgt = jax.random.uniform(jax.random.key(2), (1, 16, 16, 3))
+
+    def loss(params, on):
+        with dispatch.override(up_conv="on" if on else "off"):
+            return jnp.mean((model.apply(params, z) - tgt) ** 2)
+
+    with dispatch.override(up_conv="off"):
+        params = model.init(jax.random.key(1), z)
+    g_on = jax.grad(lambda p: loss(p, True))(params)
+    g_off = jax.grad(lambda p: loss(p, False))(params)
+    flat_on = jnp.concatenate([x.ravel() for x in jax.tree_util.tree_leaves(g_on)])
+    flat_off = jnp.concatenate([x.ravel() for x in jax.tree_util.tree_leaves(g_off)])
+    # compare globally (L2), per docs: BN shift-invariance makes individual
+    # bias grads exact zeros where tiny absolute noise dominates rtol
+    assert float(jnp.linalg.norm(flat_on - flat_off)) <= 1e-4 * (
+        1 + float(jnp.linalg.norm(flat_off)))

@@ -38,7 +38,7 @@ def time_variant(name, size, iters, *, upsample="bilinear", metrics=True,
                  jitter=True, ema=True, compute_dtype=None, grad=True,
                  optimizer="adam", pad="reflection", skip_ch=4,
                  fold_bn=False, rng_impl=None, unroll=1, dots=None,
-                 pack=None):
+                 pack=None, upc=None):
     import jax
     import jax.numpy as jnp
 
@@ -60,7 +60,8 @@ def time_variant(name, size, iters, *, upsample="bilinear", metrics=True,
                     exp_weight=(0.99 if ema else None),
                     compute_dtype=compute_dtype, log_every=iters,
                     rng_impl=rng_impl, scan_unroll=unroll,
-                    pack_small_threshold=pack, conv_impl=conv_impl)
+                    pack_small_threshold=pack, conv_impl=conv_impl,
+                    up_conv=upc)
     eng = Engine(model, lambda p, o, a: mse(o, a), cfg,
                  default_metrics(target) if metrics else None)
     z = get_noise(jax.random.key(1), 32, "noise", (size, size))
@@ -139,6 +140,21 @@ VARIANTS = {
     # pack small optimizer leaves into one fused update (fit/packed.py)
     "bf16_pack": {"compute_dtype": "bfloat16", "fold_bn": True,
                   "rng_impl": "rbg", "pack": 1 << 15},
+    # fused upsample2x->conv3x3 decoder seam (ops/up_conv.py)
+    "bf16_upconv_off": {"compute_dtype": "bfloat16", "fold_bn": True,
+                        "rng_impl": "rbg", "upc": "off"},
+    "bf16_upconv_on": {"compute_dtype": "bfloat16", "fold_bn": True,
+                       "rng_impl": "rbg", "upc": "on"},
+    # f32: conv ops everywhere except the fused seam (which is dots-based)
+    "f32_upconv_on": {"fold_bn": True, "rng_impl": "rbg", "upc": "on"},
+    "f32_upconv_off": {"fold_bn": True, "rng_impl": "rbg", "upc": "off"},
+    # nearest upsampling needs NO boundary corrections: isolates their cost
+    "bf16_near_upc_on": {"compute_dtype": "bfloat16", "fold_bn": True,
+                         "rng_impl": "rbg", "upsample": "nearest",
+                         "upc": "on"},
+    "bf16_near_upc_off": {"compute_dtype": "bfloat16", "fold_bn": True,
+                          "rng_impl": "rbg", "upsample": "nearest",
+                          "upc": "off"},
 }
 
 

@@ -25,7 +25,8 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def build_chunk(size: int, iters: int, compute_dtype: str | None):
+def build_chunk(size: int, iters: int, compute_dtype: str | None,
+                up_conv: str | None = None):
     from dip_tpu.fit.engine import Engine, FitConfig, default_metrics
     from dip_tpu.models import Skip
     from dip_tpu.ops.losses import mse
@@ -44,7 +45,7 @@ def build_chunk(size: int, iters: int, compute_dtype: str | None):
                  pad="reflection")
     cfg = FitConfig(num_iter=iters, lr=0.01, reg_noise_std=1.0 / 30,
                     exp_weight=0.99, log_every=iters,
-                    compute_dtype=compute_dtype)
+                    compute_dtype=compute_dtype, up_conv=up_conv)
     eng = Engine(model, lambda p, out, aux: mse(out, aux), cfg,
                  default_metrics(target))
     z = get_noise(jax.random.key(1), 32, "noise", (size, size))
@@ -80,9 +81,11 @@ def main():
                     help="compute dtype (e.g. bfloat16); default f32")
     ap.add_argument("--logdir", default="/tmp/dip_trace")
     ap.add_argument("--top", type=int, default=40)
+    ap.add_argument("--upc", default=None,
+                    help="up_conv dispatch: auto|on|off (default: config None)")
     args = ap.parse_args()
 
-    chunk, state = build_chunk(args.size, args.iters, args.dtype)
+    chunk, state = build_chunk(args.size, args.iters, args.dtype, args.upc)
     # compile + warm outside the trace
     state2, _ = chunk(state)
     jax.block_until_ready(state2.params)

@@ -152,6 +152,91 @@ def recipe_library(iters=None):
     return _inpaint("library", "library", iters)
 
 
+def _inpaint_net(name, preset, net_type, iters):
+    from dip_tpu.tasks import inpaint
+    from dip_tpu.utils.image_io import hwc_to_nhwc
+
+    img = _load(f"{DATA}/inpainting/{name}.png", d=64)
+    mask = _load(f"{DATA}/inpainting/{name}_mask.png", d=64)
+    spec = inpaint.task(hwc_to_nhwc(img), hwc_to_nhwc(mask), preset=preset,
+                        net_type=net_type, gt=hwc_to_nhwc(img),
+                        num_iter=iters)
+    out, state, hist, dt = _run(spec)
+    rec = {"recipe": f"inpaint/{preset} [{net_type}]", "image": f"{name}.png",
+           "size": f"{img.shape[1]}x{img.shape[0]}"}
+    rec.update(_stats(hist, "psnr_gt"))
+    rec["out"] = _save(f"{name}_inpaint_{net_type.lower()}.png", out)
+    return rec, hist, dt, spec.cfg.num_iter
+
+
+def recipe_library_unet(iters=None):
+    """inpainting.ipynb cell 14 'library' UNET variant (LR 1e-3) — the
+    zoo-breadth figure run on the real library image."""
+    return _inpaint_net("library", "library", "UNet", iters)
+
+
+def recipe_library_resnet(iters=None):
+    """inpainting.ipynb cell 14 'library' ResNet variant (LR 1e-3)."""
+    return _inpaint_net("library", "library", "ResNet", iters)
+
+
+def recipe_prior_effect(iters=None):
+    """sr_prior_effect.ipynb cells 8-10: x4 SR with the skip prior vs NO
+    network (identity, OPT_OVER='input' — optimize HR pixels directly).
+    The PSNR gap between the two rows is the deep image prior itself."""
+    import jax
+
+    from dip_tpu.eval.sr_eval import psnr_y_bbox_protocol
+    from dip_tpu.tasks import super_resolve
+    from dip_tpu.utils.image_io import hwc_to_nhwc, nhwc_to_hwc
+
+    imgs = super_resolve.load_lr_hr(f"{DATA}/sr/zebra_GT.png", -1, 4, "CROP")
+    lr = hwc_to_nhwc(imgs["LR_np"])
+    gt = hwc_to_nhwc(imgs["HR_np"])
+    scores, dts, n_iters = {}, 0.0, 0
+    for net in ("skip", "identity"):
+        spec = super_resolve.task(lr, factor=4, hr_gt=gt, num_iter=iters,
+                                  net=net)
+        out, state, hist, dt = _run(spec, seed=0)
+        pred = np.clip(nhwc_to_hwc(out), 0, 1)
+        scores[net] = round(psnr_y_bbox_protocol(imgs["HR_np"], pred), 3)
+        _save(f"prior_effect_{net}.png", out)
+        dts += dt
+        n_iters += spec.cfg.num_iter
+    rec = {"recipe": "sr_prior_effect/x4 zebra (skip vs identity)",
+           "image": "zebra_GT.png",
+           "size": f"{imgs['HR_np'].shape[1]}x{imgs['HR_np'].shape[0]}",
+           "psnr_y_skip": scores["skip"], "psnr_y_identity": scores["identity"],
+           "prior_effect_db": round(scores["skip"] - scores["identity"], 3),
+           "out": os.path.join(OUTDIR, "prior_effect_identity.png")}
+    return rec, {}, dts, n_iters
+
+
+def recipe_lbfgs_f16(iters=None):
+    """optimize('LBFGS') on a real image (utils/common_utils.py:208-221
+    semantics: 100-step Adam warm-up then full-history LBFGS): F16 sigma=25
+    denoising with the lbfgs engine mode."""
+    import dataclasses
+
+    from dip_tpu.tasks import denoise
+    from dip_tpu.utils.image_io import hwc_to_nhwc
+
+    img = _load(f"{DATA}/denoising/F16_GT.png")
+    noisy = denoise.get_noisy_image(img, 25 / 255.0)
+    spec = denoise.task(hwc_to_nhwc(noisy), preset="f16",
+                        gt=hwc_to_nhwc(img), num_iter=iters or 600)
+    spec.cfg = dataclasses.replace(spec.cfg, optimizer="lbfgs",
+                                   lbfgs_warmup=100, lbfgs_warmup_lr=1e-3,
+                                   reg_noise_std=0.0)
+    out, state, hist, dt = _run(spec)
+    rec = {"recipe": "denoise/f16 sigma=25 [LBFGS]", "image": "F16_GT.png",
+           "size": f"{img.shape[1]}x{img.shape[0]}",
+           "warmup": 100}
+    rec.update(_stats(hist, "psnr_gt"))
+    rec["out"] = _save("f16_lbfgs_out.png", out)
+    return rec, hist, dt, spec.cfg.num_iter
+
+
 def recipe_barbara(iters=None):
     """restoration.ipynb cell 7: barbara, 50% pixels dropped, 11000 iters."""
     from dip_tpu.tasks import restore
@@ -232,10 +317,14 @@ RECIPES = {
     "kate": recipe_kate,
     "vase": recipe_vase,
     "library": recipe_library,
+    "library_unet": recipe_library_unet,
+    "library_resnet": recipe_library_resnet,
     "barbara": recipe_barbara,
     "zebra4": recipe_zebra4,
     "zebra8": recipe_zebra8,
     "flash": recipe_flash,
+    "prior_effect": recipe_prior_effect,
+    "lbfgs_f16": recipe_lbfgs_f16,
 }
 
 

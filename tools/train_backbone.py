@@ -201,7 +201,28 @@ def run_am(weights_path: str, num_iter: int, map_idx: int = 3):
             f"  am iter {it:5d}  loss {h['loss'][-1]:.4f}", flush=True))
     path = os.path.join(OUTDIR, f"am_trained_class{map_idx}.png")
     save_image(path, np.clip(nhwc_to_hwc(out), 0, 1))
-    return float(hist["loss"][0]), float(hist["loss"][-1]), path
+
+    # Closed loop: the trained classifier must actually assign the
+    # synthesized image to the maximized class (VERDICT r2 weak 7 — an
+    # objective decrease alone doesn't prove the synthesis means anything).
+    # Reported: argmax over the 10 trained classes, the margin over the
+    # runner-up, and the target-logit gain vs a neutral gray input.
+    import jax.numpy as jnp
+
+    from dip_tpu.tasks.feature_inversion import build_extractor
+
+    extract, _, _ = build_extractor("alexnet_caffe", ("fc8",), weights_path)
+    logits = np.asarray(extract(jnp.asarray(out))["fc8"])[0][:N_CLASSES]
+    logits0 = np.asarray(
+        extract(jnp.full_like(jnp.asarray(out), 0.5))["fc8"])[0][:N_CLASSES]
+    pred = int(logits.argmax())
+    margin = float(logits[map_idx] - np.max(np.delete(logits, map_idx)))
+    gain = float(logits[map_idx] - logits0[map_idx])
+    print(f"  closed loop: argmax={pred} (target {map_idx}), "
+          f"margin {margin:+.2f}, logit gain vs gray {gain:+.2f}", flush=True)
+    closed = {"am_argmax": pred, "am_target": map_idx,
+              "am_margin": round(margin, 3), "am_logit_gain": round(gain, 3)}
+    return float(hist["loss"][0]), float(hist["loss"][-1]), path, closed
 
 
 def main(argv=None):
@@ -234,13 +255,13 @@ def main(argv=None):
         params, test_acc = train(args.steps, args.batch, args.lr)
         export_torch(params, CKPT)
     if args.skip_fi:
-        am0, am1, am_path = run_am(CKPT, args.am_iters, args.am_class)
+        am0, am1, am_path, closed = run_am(CKPT, args.am_iters, args.am_class)
         rec_am = {"recipe": f"activation_max/trained-alexnet "
                             f"fc8[{args.am_class}]",
                   "image": "synthesized", "size": "227x227",
                   "iters": args.am_iters, "am_loss_first": round(am0, 4),
                   "am_loss_final": round(am1, 4), "out": am_path,
-                  "quick": args.quick}
+                  "quick": args.quick, **closed}
         with open(os.path.join(OUTDIR, "reproduce.jsonl"), "a") as f:
             f.write(json.dumps(rec_am) + "\n")
         print(json.dumps(rec_am), flush=True)
@@ -260,14 +281,14 @@ def main(argv=None):
         f.write(json.dumps(rec) + "\n")
     print(json.dumps(rec), flush=True)
 
-    am0, am1, am_path = run_am(CKPT, args.am_iters, args.am_class)
+    am0, am1, am_path, closed = run_am(CKPT, args.am_iters, args.am_class)
     rec_am = {"recipe": f"activation_max/trained-alexnet "
                         f"fc8[{args.am_class}]",
               "image": "synthesized", "size": "227x227",
               "backbone_test_acc": round(test_acc, 3),
               "iters": args.am_iters,
               "am_loss_first": round(am0, 4), "am_loss_final": round(am1, 4),
-              "out": am_path, "quick": args.quick}
+              "out": am_path, "quick": args.quick, **closed}
     with open(os.path.join(OUTDIR, "reproduce.jsonl"), "a") as f:
         f.write(json.dumps(rec_am) + "\n")
     print(json.dumps(rec_am), flush=True)
