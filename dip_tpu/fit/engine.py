@@ -96,6 +96,10 @@ class FitConfig:
     # process default (DIP_UP_CONV env), 'auto' = on whenever the dots
     # lowering is active for the trace dtype, 'on'/'off' force.
     up_conv: str | None = None
+    # Extend space-to-depth to ALL stride-2 dots convs, not just
+    # thin-channel inputs (ops/dot_conv.py). None = process default
+    # (DIP_CONV_S2D_WIDE env); True/False force. Perf experiment.
+    conv_s2d_wide: bool | None = None
 
 
 class FitState(NamedTuple):
@@ -197,7 +201,8 @@ class Engine:
         from dip_tpu.ops import dispatch
 
         return dispatch.override(conv_impl=self.cfg.conv_impl,
-                                 up_conv=self.cfg.up_conv)
+                                 up_conv=self.cfg.up_conv,
+                                 conv_s2d_wide=self.cfg.conv_s2d_wide)
 
     # -- initialization ------------------------------------------------------
 

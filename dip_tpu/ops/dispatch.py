@@ -26,6 +26,12 @@ Flag reference (env var -> flag, default):
                        '0'/'conv'.
  - DIP_CONV_S2D     -> conv_s2d: space-to-depth stride-2 thin-channel conv,
                        on unless '0'.
+ - DIP_CONV_S2D_WIDE -> conv_s2d_wide: '1' extends space-to-depth to ALL
+                       stride-2 convs (not just thin-channel inputs): the
+                       encoder's 128-ch stride-2 convs trade 9 strided tap
+                       slices for one s2d rearrange + unit slices at 4x
+                       lane width. Perf experiment (tools/profile_step.py
+                       'bf16_s2dwide').
  - DIP_DOTS_F32_BF16MUL -> dots_f32_bf16mul: bf16-multiply f32-accumulate
                        taps for f32 dots ('1' only; measured slower than
                        the f32 conv-op path, kept as an experiment).
@@ -61,6 +67,7 @@ def _conv_impl_from_env() -> str:
 _flags = {
     "conv_impl": _conv_impl_from_env(),
     "conv_s2d": os.environ.get("DIP_CONV_S2D", "") != "0",
+    "conv_s2d_wide": os.environ.get("DIP_CONV_S2D_WIDE", "") == "1",
     "dots_f32_bf16mul": os.environ.get("DIP_DOTS_F32_BF16MUL", "") == "1",
     "dots_acc_f32": os.environ.get("DIP_DOTS_ACC_F32", "") == "1",
     "pallas_wgrad": os.environ.get("DIP_PALLAS_WGRAD", "0"),
@@ -112,6 +119,10 @@ def conv_impl() -> str:
 
 def conv_s2d() -> bool:
     return _flags["conv_s2d"]
+
+
+def conv_s2d_wide() -> bool:
+    return _flags["conv_s2d_wide"]
 
 
 def dots_f32_bf16mul() -> bool:

@@ -127,7 +127,8 @@ def conv2d_dots(x: jnp.ndarray, kernel: jnp.ndarray, stride: int = 1,
     # 9) is numerically correct (it passed the CPU exactness test) but
     # reproducibly faults this TPU backend at 512^2 ("TPU device error —
     # often a kernel fault"), so the naive strided-tap form stays.
-    if stride == 2 and c <= 64 and dispatch.conv_s2d():
+    if stride == 2 and dispatch.conv_s2d() and (
+            c <= 64 or dispatch.conv_s2d_wide()):
         return _conv_s2d(x, kernel, ho, wo)
     acc = None
     for dy in range(kh):

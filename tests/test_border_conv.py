@@ -175,3 +175,31 @@ def test_conv2d_dots_matches_xla():
             np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
                                        rtol=1e-4, atol=1e-4,
                                        err_msg=str((kh, kw, stride, pad)))
+
+
+def test_conv2d_dots_s2d_wide_exact():
+    """conv_s2d_wide routes wide-channel stride-2 convs through the
+    space-to-depth form; it must stay exact vs the strided-tap form
+    (fwd + both grads, odd and even spatial extents)."""
+    from dip_tpu.ops import dispatch
+    from dip_tpu.ops.dot_conv import conv2d_dots
+
+    rng = np.random.default_rng(3)
+    for h, w in [(12, 10), (11, 9)]:
+        x = jnp.asarray(rng.normal(size=(1, h, w, 96)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(3, 3, 96, 8)), jnp.float32)
+        pad = ((1, 0), (1, 0))
+
+        def f(x, k):
+            return jnp.sum(conv2d_dots(x, k, 2, pad) ** 2)
+
+        ref_out = np.asarray(conv2d_dots(x, k, 2, pad))
+        ref_gx, ref_gk = jax.grad(f, (0, 1))(x, k)
+        with dispatch.override(conv_s2d_wide=True):
+            wide_out = np.asarray(conv2d_dots(x, k, 2, pad))
+            gx, gk = jax.grad(f, (0, 1))(x, k)
+        np.testing.assert_allclose(wide_out, ref_out, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(ref_gx),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gk), np.asarray(ref_gk),
+                                   rtol=1e-4, atol=1e-4)
