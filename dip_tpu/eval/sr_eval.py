@@ -100,12 +100,17 @@ def eval_sr_dataset_sharded(
 ) -> SrEvalResult:
     """Fleet evaluation: one DIP fit per device over a sharded image list.
 
-    Images are grouped by (cropped) HR shape; each same-shape group runs as
-    ONE BatchEngine program with the image axis sharded over the mesh's
-    'data' axis — N images cost the wall-clock of one (SURVEY.md §5
-    distributed row; the capability BASELINE.md's '8 images concurrently'
-    promises). Groups are padded to the mesh size by repeating the last
-    image (padding scores are discarded).
+    Images are grouped by (cropped) HR shape; each same-shape group runs
+    through ONE compiled BatchEngine program with the image axis sharded
+    over the mesh's 'data' axis — N images cost the wall-clock of one
+    (SURVEY.md §5 distributed row; the capability BASELINE.md's '8 images
+    concurrently' promises). Groups larger than the mesh run as sequential
+    mesh-size sub-batches of the same program: one image per device is the
+    measured-fast regime (vmap folding several per-image nets into one
+    chip's convs is ~14x slower — parallel/batch.py header), so a group of
+    3 on a 1-chip mesh is three sequential fits, not one b3 vmap. The last
+    sub-batch is padded by repeating its final image (padding scores are
+    discarded).
     """
     import jax
     import jax.numpy as jnp
@@ -126,23 +131,27 @@ def eval_sr_dataset_sharded(
     for shape, items in groups.items():
         names = [os.path.splitext(os.path.basename(p))[0] for p, _ in items]
         n_real = len(items)
-        while len(items) % max(n_dev, 1):
-            items = items + [items[-1]]  # pad to mesh size
+        nb = max(n_dev, 1)
+        while len(items) % nb:
+            items = items + [items[-1]]  # pad the last sub-batch
         spec = super_resolve.task(
             hwc_to_nhwc(items[0][1]["LR_np"]), factor=factor,
             num_iter=num_iter)
         beng = BatchEngine(spec.model, spec.loss_fn, spec.cfg,
                            spec.metrics_fn, mesh=mesh)
-        keys = jax.random.split(jax.random.key(seed), len(items))
-        zs = jnp.stack([
-            make_input(spec, k) for k in jax.random.split(
-                jax.random.key(seed + 1), len(items))
-        ])
-        auxs = {"lr": jnp.stack([
-            hwc_to_nhwc(im["LR_np"]) for _, im in items])}
-        state = beng.init_state(keys, zs)
-        state, _ = beng.run(state, auxs)
-        outs = np.asarray(beng.render(state))  # (b, 1, H, W, C)
+        all_keys = jax.random.split(jax.random.key(seed), len(items))
+        z_keys = jax.random.split(jax.random.key(seed + 1), len(items))
+        outs = []
+        for lo in range(0, len(items), nb):  # one image per device per pass
+            sub = items[lo:lo + nb]
+            zs = jnp.stack([make_input(spec, k)
+                            for k in z_keys[lo:lo + nb]])
+            auxs = {"lr": jnp.stack([
+                hwc_to_nhwc(im["LR_np"]) for _, im in sub])}
+            state = beng.init_state(all_keys[lo:lo + nb], zs)
+            state, _ = beng.run(state, auxs)
+            outs.append(np.asarray(beng.render(state)))  # (nb, 1, H, W, C)
+        outs = np.concatenate(outs, axis=0)
         for i in range(n_real):
             pred = np.clip(nhwc_to_hwc(outs[i]), 0, 1)
             score = psnr_y_bbox_protocol(items[i][1]["HR_np"], pred)

@@ -100,6 +100,10 @@ class FitConfig:
     # thin-channel inputs (ops/dot_conv.py). None = process default
     # (DIP_CONV_S2D_WIDE env); True/False force. Perf experiment.
     conv_s2d_wide: bool | None = None
+    # Hand-written VJP for stride-1 dots convs (dot_conv._conv2d_dots_cv):
+    # data-grad as one flipped-kernel dots conv instead of k^2 scatter-pad
+    # chains. None = process default (DIP_DOTS_VJP env). Perf experiment.
+    dots_vjp: bool | None = None
 
 
 class FitState(NamedTuple):
@@ -202,7 +206,8 @@ class Engine:
 
         return dispatch.override(conv_impl=self.cfg.conv_impl,
                                  up_conv=self.cfg.up_conv,
-                                 conv_s2d_wide=self.cfg.conv_s2d_wide)
+                                 conv_s2d_wide=self.cfg.conv_s2d_wide,
+                                 dots_vjp=self.cfg.dots_vjp)
 
     # -- initialization ------------------------------------------------------
 

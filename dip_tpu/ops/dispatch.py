@@ -35,6 +35,11 @@ Flag reference (env var -> flag, default):
  - DIP_DOTS_F32_BF16MUL -> dots_f32_bf16mul: bf16-multiply f32-accumulate
                        taps for f32 dots ('1' only; measured slower than
                        the f32 conv-op path, kept as an experiment).
+ - DIP_DOTS_VJP     -> dots_vjp: '1' installs the hand-written VJP for
+                       stride-1 dots convs (dot_conv._conv2d_dots_cv):
+                       data-grad as ONE flipped-kernel dots conv of dy
+                       instead of k^2 scatter-pad chains. Perf experiment
+                       (tools/profile_step.py 'bf16_dotsvjp').
  - DIP_DOTS_ACC_F32 -> dots_acc_f32: f32 cross-tap accumulation for bf16
                        dots ('1' only; measured 13.9 -> 17.7 ms/step bf16
                        @512^2 — the f32 tap intermediates double the
@@ -70,6 +75,7 @@ _flags = {
     "conv_s2d_wide": os.environ.get("DIP_CONV_S2D_WIDE", "") == "1",
     "dots_f32_bf16mul": os.environ.get("DIP_DOTS_F32_BF16MUL", "") == "1",
     "dots_acc_f32": os.environ.get("DIP_DOTS_ACC_F32", "") == "1",
+    "dots_vjp": os.environ.get("DIP_DOTS_VJP", "") == "1",
     "pallas_wgrad": os.environ.get("DIP_PALLAS_WGRAD", "0"),
     "up_shifts": os.environ.get("DIP_UP_SHIFTS", "") == "1",
     "up_conv": {"1": "on", "on": "on", "0": "off", "off": "off"}.get(
@@ -131,6 +137,10 @@ def dots_f32_bf16mul() -> bool:
 
 def dots_acc_f32() -> bool:
     return _flags["dots_acc_f32"]
+
+
+def dots_vjp() -> bool:
+    return _flags["dots_vjp"]
 
 
 def pallas_wgrad_mode() -> str:

@@ -105,6 +105,16 @@ def conv2d_dots(x: jnp.ndarray, kernel: jnp.ndarray, stride: int = 1,
     `padding` is 'VALID' or a pair-of-pairs ((ph0, ph1), (pw0, pw1)) of
     zero padding, as in lax.conv_general_dilated.
     """
+    kh, kw = kernel.shape[:2]
+    if (stride == 1 and kh > 1 and dispatch.dots_vjp()
+            and padding != "VALID"
+            and kh - 1 >= max(padding[0]) and kw - 1 >= max(padding[1])):
+        return _conv2d_dots_cv(padding, x, kernel)
+    return _conv2d_dots_impl(x, kernel, stride, padding)
+
+
+def _conv2d_dots_impl(x: jnp.ndarray, kernel: jnp.ndarray, stride: int = 1,
+                      padding="VALID") -> jnp.ndarray:
     n, h, w, c = x.shape
     kh, kw, c2, f = kernel.shape
     assert c == c2, (x.shape, kernel.shape)
@@ -142,3 +152,57 @@ def conv2d_dots(x: jnp.ndarray, kernel: jnp.ndarray, stride: int = 1,
             term = _tap_dot(xs, kernel[dy, dx])
             acc = term if acc is None else acc + term
     return acc.astype(x.dtype)
+
+
+# -- hand-written VJP for the stride-1 dots conv -----------------------------
+#
+# Autodiff of the tap form gives each tap slice a pad-into-zeros VJP; the
+# data gradient then materializes k^2 padded scatter buffers that XLA fuses
+# into a chain costing ~1 ms/iter of the bf16 512^2 step (docs/PERF.md
+# "remaining structure": pad/slice VJP chains). But the SUM of those
+# shifted pads IS a convolution: dx = conv(dy, flip(W)^T) with padding
+# (k-1-p) — one pad of dy, k^2 shifted matmuls, one output buffer. The
+# weight gradient is the natural per-tap einsum on the SAME padded input
+# the forward already built. Gated via dispatch.dots_vjp
+# (DIP_DOTS_VJP / FitConfig.dots_vjp) until measured on hardware.
+
+import functools
+import jax
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _conv2d_dots_cv(padding, x, kernel):
+    return _conv2d_dots_impl(x, kernel, 1, padding)
+
+
+def _cv_fwd(padding, x, kernel):
+    return _conv2d_dots_impl(x, kernel, 1, padding), (x, kernel)
+
+
+def _cv_bwd(padding, res, g):
+    x, kernel = res
+    kh, kw, c, f = kernel.shape
+    (ph0, ph1), (pw0, pw1) = padding
+    # dx = conv(g, W flipped spatially, transposed in/out), pad (k-1-p)
+    k_t = jnp.flip(kernel, axis=(0, 1)).transpose(0, 1, 3, 2)
+    dx = _conv2d_dots_impl(
+        g, k_t, 1,
+        ((kh - 1 - ph0, kh - 1 - ph1), (kw - 1 - pw0, kw - 1 - pw1)))
+    # dW[dy,dx] = x_tap^T @ g on the padded input (same taps as forward)
+    n, h, w, _ = x.shape
+    xp = jnp.pad(x, ((0, 0), (ph0, ph1), (pw0, pw1), (0, 0)))
+    ho = h + ph0 + ph1 - kh + 1
+    wo = w + pw0 + pw1 - kw + 1
+    rows = []
+    for dy in range(kh):
+        row = []
+        for dx_ in range(kw):
+            xs = lax.slice(xp, (0, dy, dx_, 0),
+                           (n, dy + ho, dx_ + wo, c))
+            row.append(jnp.einsum("nhwc,nhwf->cf", xs, g))
+        rows.append(jnp.stack(row))
+    dk = jnp.stack(rows).astype(kernel.dtype)
+    return dx.astype(x.dtype), dk
+
+
+_conv2d_dots_cv.defvjp(_cv_fwd, _cv_bwd)

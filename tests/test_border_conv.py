@@ -203,3 +203,35 @@ def test_conv2d_dots_s2d_wide_exact():
                                    rtol=1e-4, atol=1e-4)
         np.testing.assert_allclose(np.asarray(gk), np.asarray(ref_gk),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_conv2d_dots_custom_vjp_exact():
+    """dots_vjp's hand-written backward (dgrad-as-conv + per-tap wgrad
+    einsums) matches autodiff of the tap form, for 3x3 pad-1 and the
+    stride-1 asymmetric-pad forms the net uses."""
+    from dip_tpu.ops import dispatch
+    from dip_tpu.ops.dot_conv import conv2d_dots
+
+    rng = np.random.default_rng(7)
+    for pad in [((1, 1), (1, 1)), ((1, 0), (1, 0)), ((2, 2), (2, 2))]:
+        kh = 3 if max(pad[0]) < 2 else 5
+        x = jnp.asarray(rng.normal(size=(1, 9, 11, 6)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(kh, kh, 6, 5)), jnp.float32)
+        co = jnp.asarray(rng.normal(
+            size=(1, 9 + sum(pad[0]) - kh + 1, 11 + sum(pad[1]) - kh + 1, 5)),
+            jnp.float32)
+
+        def f(x, k):
+            return jnp.sum(conv2d_dots(x, k, 1, pad) * co)
+
+        ref_out = np.asarray(conv2d_dots(x, k, 1, pad))
+        ref_gx, ref_gk = jax.grad(f, (0, 1))(x, k)
+        with dispatch.override(dots_vjp=True):
+            out = np.asarray(conv2d_dots(x, k, 1, pad))
+            gx, gk = jax.grad(f, (0, 1))(x, k)
+        np.testing.assert_allclose(out, ref_out, rtol=1e-5, atol=1e-5,
+                                   err_msg=str(pad))
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(ref_gx),
+                                   rtol=1e-4, atol=1e-4, err_msg=str(pad))
+        np.testing.assert_allclose(np.asarray(gk), np.asarray(ref_gk),
+                                   rtol=1e-4, atol=1e-4, err_msg=str(pad))

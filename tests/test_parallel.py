@@ -243,3 +243,25 @@ def test_spatial_sharding_subprocess():
     )
     assert res.returncode == 0, res.stderr[-2000:]
     assert "OK" in res.stdout
+
+
+def test_sharded_eval_subbatches_groups_larger_than_mesh(tmp_path):
+    """A shape group larger than the mesh runs as sequential mesh-size
+    sub-batches (one image per device — parallel/batch.py header), and
+    every image still gets its own score."""
+    from PIL import Image
+
+    from dip_tpu.eval.sr_eval import eval_sr_dataset_sharded
+
+    rng = np.random.default_rng(2)
+    for i in range(3):
+        yy, xx = np.mgrid[0:64, 0:64] / 64
+        img = (rng.uniform(0.2, 0.8, (64, 64, 3)) * 0.2 + 0.8 * np.stack(
+            [np.sin(xx * (4 + i)) * 0.5 + 0.5, yy, xx], -1)).clip(0, 1)
+        Image.fromarray((img * 255).astype(np.uint8)).save(
+            tmp_path / f"img{i}.png")
+
+    res = eval_sr_dataset_sharded(str(tmp_path), mesh=None, factor=4,
+                                  num_iter=10, verbose=False)
+    assert len(res.per_image) == 3, res.per_image
+    assert all(np.isfinite(v) for v in res.per_image.values())
