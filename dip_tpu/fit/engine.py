@@ -104,6 +104,10 @@ class FitConfig:
     # data-grad as one flipped-kernel dots conv instead of k^2 scatter-pad
     # chains. None = process default (DIP_DOTS_VJP env). Perf experiment.
     dots_vjp: bool | None = None
+    # f32 path: route thin-channel stride-2 convs (the z input conv)
+    # through the space-to-depth dots form while keeping XLA conv ops
+    # elsewhere. None = process default (DIP_S2D_F32 env). Perf experiment.
+    s2d_f32: bool | None = None
 
 
 class FitState(NamedTuple):
@@ -207,7 +211,8 @@ class Engine:
         return dispatch.override(conv_impl=self.cfg.conv_impl,
                                  up_conv=self.cfg.up_conv,
                                  conv_s2d_wide=self.cfg.conv_s2d_wide,
-                                 dots_vjp=self.cfg.dots_vjp)
+                                 dots_vjp=self.cfg.dots_vjp,
+                                 s2d_f32=self.cfg.s2d_f32)
 
     # -- initialization ------------------------------------------------------
 

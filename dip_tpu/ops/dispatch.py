@@ -35,6 +35,11 @@ Flag reference (env var -> flag, default):
  - DIP_DOTS_F32_BF16MUL -> dots_f32_bf16mul: bf16-multiply f32-accumulate
                        taps for f32 dots ('1' only; measured slower than
                        the f32 conv-op path, kept as an experiment).
+ - DIP_S2D_F32      -> s2d_f32: '1' routes thin-channel stride-2 convs
+                       through the space-to-depth dots form even on the
+                       f32 conv-op path (the one dots rewrite VERDICT r2
+                       flagged as untried for f32). Perf experiment
+                       (tools/profile_step.py 'f32_s2d').
  - DIP_DOTS_VJP     -> dots_vjp: '1' installs the hand-written VJP for
                        stride-1 dots convs (dot_conv._conv2d_dots_cv):
                        data-grad as ONE flipped-kernel dots conv of dy
@@ -76,6 +81,7 @@ _flags = {
     "dots_f32_bf16mul": os.environ.get("DIP_DOTS_F32_BF16MUL", "") == "1",
     "dots_acc_f32": os.environ.get("DIP_DOTS_ACC_F32", "") == "1",
     "dots_vjp": os.environ.get("DIP_DOTS_VJP", "") == "1",
+    "s2d_f32": os.environ.get("DIP_S2D_F32", "") == "1",
     "pallas_wgrad": os.environ.get("DIP_PALLAS_WGRAD", "0"),
     "up_shifts": os.environ.get("DIP_UP_SHIFTS", "") == "1",
     "up_conv": {"1": "on", "on": "on", "0": "off", "off": "off"}.get(
@@ -141,6 +147,10 @@ def dots_acc_f32() -> bool:
 
 def dots_vjp() -> bool:
     return _flags["dots_vjp"]
+
+
+def s2d_f32() -> bool:
+    return _flags["s2d_f32"]
 
 
 def pallas_wgrad_mode() -> str:

@@ -319,6 +319,13 @@ def conv2d_fast(x: jnp.ndarray, kernel: jnp.ndarray, stride: int,
         from dip_tpu.ops.dot_conv import conv2d_dots
 
         return conv2d_dots(x, kernel, stride, padding)
+    # f32 experiment (dispatch.s2d_f32): the thin-channel stride-2 input
+    # conv alone through the space-to-depth dots form, conv ops elsewhere
+    if (stride == 2 and x.shape[-1] <= 64 and impl != "conv"
+            and dispatch.s2d_f32()):
+        from dip_tpu.ops.dot_conv import conv2d_dots
+
+        return conv2d_dots(x, kernel, stride, padding)
     if padding == ((1, 1), (1, 1)) and _can_use_3x3(x, kernel, stride):
         return _conv3x3_s1p1(x, kernel)
     if (padding in ("VALID", ((0, 0), (0, 0)))

@@ -235,3 +235,19 @@ def test_conv2d_dots_custom_vjp_exact():
                                    rtol=1e-4, atol=1e-4, err_msg=str(pad))
         np.testing.assert_allclose(np.asarray(gk), np.asarray(ref_gk),
                                    rtol=1e-4, atol=1e-4, err_msg=str(pad))
+
+
+def test_conv2d_fast_s2d_f32_dispatch_exact():
+    """s2d_f32 routes the f32 thin-channel stride-2 conv through the
+    space-to-depth dots form; output must match the XLA conv op path."""
+    from dip_tpu.ops import dispatch
+    from dip_tpu.ops.pallas_wgrad import conv2d_fast
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(1, 16, 16, 32)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(3, 3, 32, 8)), jnp.float32)
+    pad = ((1, 0), (1, 0))
+    ref = np.asarray(conv2d_fast(x, k, 2, pad))
+    with dispatch.override(s2d_f32=True):
+        out = np.asarray(conv2d_fast(x, k, 2, pad))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
