@@ -44,6 +44,10 @@ def fmt_quality(r: dict) -> str:
     if "psnr_y_bicubic" in r:
         delta = round(r["psnr_y_protocol"] - r["psnr_y_bicubic"], 2)
         parts.append(f"bicubic {r['psnr_y_bicubic']} ({'+' if delta >= 0 else ''}{delta})")
+    if "psnr_y_skip" in r:
+        parts.append(f"PSNR-Y skip {r['psnr_y_skip']} vs identity "
+                     f"{r['psnr_y_identity']} (prior effect "
+                     f"+{r['prior_effect_db']} dB)")
     if "fi_loss_final" in r:
         parts.append(f"fc6 loss {r['fi_loss_first']} -> {r['fi_loss_final']}")
     if "am_loss_final" in r:
@@ -88,6 +92,22 @@ def main():
         lines.append("")
         lines.append("```")
         lines.append(open(eval_txt).read().rstrip())
+        lines.append("```")
+        lines.append("")
+    fleet_txt = os.path.join(ROOT, "results", "eval_sr_x4_fleet.txt")
+    if os.path.exists(fleet_txt):
+        lines.append("## Multi-image fleet SR table (sharded path, x4)")
+        lines.append("")
+        lines.append("Set5/Set14 cannot be downloaded here (zero egress), "
+                     "so the Set-style table runs over every suitable HR "
+                     "source the reference bundles (8 images, 5 shapes; "
+                     "`tools/make_fleet_set.py`), through "
+                     "`eval_sr_dataset_sharded` via "
+                     "`python -m dip_tpu eval-sr --dir results/sr_fleet_set "
+                     "--fleet`:")
+        lines.append("")
+        lines.append("```")
+        lines.append(open(fleet_txt).read().rstrip())
         lines.append("```")
         lines.append("")
     lines.append("Regenerate with `python tools/reproduce.py && "

@@ -362,6 +362,13 @@ def main(argv=None):
                 break
             except Exception as e:  # noqa: BLE001
                 print(f"attempt {attempt} failed: {e!r}", flush=True)
+                if "Unable to initialize backend" in str(e):
+                    # the accelerator itself is unreachable (tunnel down):
+                    # every further attempt would hang for many minutes and
+                    # fail the same way — abort the sweep NOW so it can be
+                    # relaunched when the backend recovers
+                    print("backend unavailable — aborting sweep", flush=True)
+                    raise SystemExit(2)
                 if attempt == 2:
                     failures.append(name)
                     rec = None
