@@ -17,14 +17,34 @@ multi-chip mesh it shard_maps one image per device.
 """
 
 import sys
+import time
 
 sys.path.insert(0, ".")
 
 from dip_tpu.bench import run_bench, run_full
 
+
+def _run_full_with_retry(attempts: int = 3, delay_s: int = 90):
+    """The tunneled accelerator sporadically refuses backend init for a
+    while (observed: 'Unable to initialize backend ... UNAVAILABLE'). The
+    driver calls this once per round; retry briefly rather than losing the
+    round's benchmark to a transient outage. Backend init failure leaves
+    no device state behind, so a plain re-call is safe."""
+    for attempt in range(1, attempts + 1):
+        try:
+            return run_full()
+        except RuntimeError as e:
+            if "Unable to initialize backend" not in str(e) \
+                    or attempt == attempts:
+                raise
+            print(f"# backend unavailable (attempt {attempt}); retrying "
+                  f"in {delay_s}s", file=sys.stderr, flush=True)
+            time.sleep(delay_s)
+
+
 if __name__ == "__main__":
     if len(sys.argv) == 1:
-        run_full()
+        _run_full_with_retry()
     else:
         size = int(sys.argv[1])
         iters = int(sys.argv[2]) if len(sys.argv) > 2 else 100
