@@ -328,6 +328,22 @@ RECIPES = {
 }
 
 
+# Quality gate for dispatch-default flips (VERDICT r3 item 7): a lowering
+# change that is exact on CPU can still be numerically different on the TPU
+# (bf16 accumulation, fusion reassociation). Before flipping any
+# ops/dispatch default, run `python tools/reproduce.py --quick-gate`: three
+# real-image recipes at reduced iters in bf16 must clear conservative PSNR
+# floors. The floors are far below the full-run numbers (RESULTS.md:
+# f16 ~30.7, kate ~37+, zebra4 psnr_hr ~26) but far above what a broken
+# lowering produces (single digits / low teens) — a pass means the measured
+# numeric path still converges; it does not replace the full sweep.
+QUICK_GATE = {  # name -> (reduced_iters, history_key, psnr_floor_dB)
+    "f16": (1000, "psnr_gt", 27.0),
+    "kate": (1500, "psnr_gt", 27.0),
+    "zebra4": (1000, "psnr_hr", 21.0),
+}
+
+
 def main(argv=None):
     from dip_tpu.utils.platform import apply_platform_env
 
@@ -337,28 +353,47 @@ def main(argv=None):
                    help="comma-separated subset of " + ",".join(RECIPES))
     p.add_argument("--quick", action="store_true",
                    help="20-iter smoke run of every recipe")
+    p.add_argument("--quick-gate", action="store_true",
+                   help="bf16 quality gate (f16+kate+zebra4, reduced iters, "
+                        "PSNR floors) — required before flipping any "
+                        "ops/dispatch default (docs/PERF.md)")
     p.add_argument("--compute-dtype", default=None,
                    help="e.g. bfloat16: run recipes in mixed precision "
                         "(records tagged with the dtype)")
     args = p.parse_args(argv)
     global COMPUTE_DTYPE, DATA
     COMPUTE_DTYPE = args.compute_dtype
+    if args.quick_gate:
+        if args.only or args.quick:
+            p.error("--quick-gate is its own mode (no --only/--quick)")
+        COMPUTE_DTYPE = args.compute_dtype or "bfloat16"
 
     from dip_tpu.data import reference_data_dir
 
     DATA = reference_data_dir()  # raises with an actionable message if absent
 
-    names = list(RECIPES) if not args.only else args.only.split(",")
+    if args.quick_gate:
+        names = list(QUICK_GATE)
+    else:
+        names = list(RECIPES) if not args.only else args.only.split(",")
     os.makedirs(OUTDIR, exist_ok=True)
-    log = os.path.join(OUTDIR, "reproduce.jsonl")
+    log = os.path.join(OUTDIR,
+                       "gate.jsonl" if args.quick_gate else "reproduce.jsonl")
     failures = []
+    gate_rows = []
     for name in names:
         print(f"=== {name} ===", flush=True)
+        if args.quick_gate:
+            run_iters = QUICK_GATE[name][0]
+        elif args.quick:
+            run_iters = 20
+        else:
+            run_iters = None
         # the tunneled TPU backend has sporadic RPC failures: retry once,
         # and never let one recipe kill the whole sweep
         for attempt in (1, 2):
             try:
-                rec, hist, dt, iters = RECIPES[name](20 if args.quick else None)
+                rec, hist, dt, iters = RECIPES[name](run_iters)
                 break
             except Exception as e:  # noqa: BLE001
                 print(f"attempt {attempt} failed: {e!r}", flush=True)
@@ -384,9 +419,25 @@ def main(argv=None):
         with open(log, "a") as f:
             f.write(json.dumps(rec) + "\n")
         print(json.dumps(rec), flush=True)
+        if args.quick_gate:
+            _, key, floor = QUICK_GATE[name]
+            best = rec.get(f"{key}_best")
+            gate_rows.append((name, key, best, floor))
     if failures:
         print(f"FAILED recipes: {failures}", flush=True)
         raise SystemExit(1)
+    if args.quick_gate:
+        bad = [r for r in gate_rows
+               if r[2] is None or float(r[2]) < r[3]]
+        for name, key, best, floor in gate_rows:
+            status = "PASS" if (name, key, best, floor) not in bad else "FAIL"
+            print(f"gate {name:8s} {key}_best={best} floor={floor} {status}",
+                  flush=True)
+        if bad:
+            print("QUICK-GATE FAILED — do not flip dispatch defaults",
+                  flush=True)
+            raise SystemExit(3)
+        print("QUICK-GATE PASSED", flush=True)
 
 
 if __name__ == "__main__":
