@@ -50,7 +50,17 @@ def _val_key(v):
                     hashlib.sha1(arr.tobytes()).hexdigest())
     except Exception:
         pass
-    return v  # identity fallback (the cache dict keeps it alive)
+    # Identity fallback: a closure over a custom object we can't inspect.
+    # Correct (the cache dict keeps the object alive, so an id() can never
+    # be recycled into a false hit) but conservative — two structurally
+    # identical specs closing over two equal-but-distinct such objects will
+    # silently compile twice. Opt out by giving the object a
+    # __dip_cache_key__() -> hashable method describing its trace-relevant
+    # content.
+    key_fn = getattr(v, "__dip_cache_key__", None)
+    if callable(key_fn):
+        return ("custom", type(v).__module__, type(v).__qualname__, key_fn())
+    return v
 
 
 def _fn_key(fn):

@@ -96,6 +96,30 @@ def test_engine_cache_key_structural():
     assert res["a"][2]["loss"].shape == (4,)
 
 
+def test_val_key_custom_object_protocol():
+    """Exotic closure-cell objects default to identity keys (two equal but
+    distinct objects -> two keys); a __dip_cache_key__ method makes them
+    structural."""
+    from dip_tpu.parallel.queue import _val_key
+
+    class Opaque:
+        def __init__(self, x):
+            self.x = x
+
+    a, b = Opaque(3), Opaque(3)
+    assert _val_key(a) is a and _val_key(b) is b  # identity fallback
+
+    class Keyed:
+        def __init__(self, x):
+            self.x = x
+
+        def __dip_cache_key__(self):
+            return self.x
+
+    assert _val_key(Keyed(3)) == _val_key(Keyed(3))
+    assert _val_key(Keyed(3)) != _val_key(Keyed(4))
+
+
 def test_checkpoint_cross_impl_restore(tmp_path):
     """A checkpoint saved under one PRNG impl restores into a template
     built with another (key-data shape recovery), e.g. pre-rbg-default
