@@ -108,6 +108,10 @@ class FitConfig:
     # through the space-to-depth dots form while keeping XLA conv ops
     # elsewhere. None = process default (DIP_S2D_F32 env). Perf experiment.
     s2d_f32: bool | None = None
+    # BN statistics lowering: 'twopass' (jnp.mean + jnp.var) | 'sumsq'
+    # (single-read fused sum/sum-of-squares, models/blocks.py). None =
+    # process default (DIP_BN_MOMENTS env). Perf experiment.
+    bn_moments: str | None = None
 
 
 class FitState(NamedTuple):
@@ -212,7 +216,8 @@ class Engine:
                                  up_conv=self.cfg.up_conv,
                                  conv_s2d_wide=self.cfg.conv_s2d_wide,
                                  dots_vjp=self.cfg.dots_vjp,
-                                 s2d_f32=self.cfg.s2d_f32)
+                                 s2d_f32=self.cfg.s2d_f32,
+                                 bn_moments=self.cfg.bn_moments)
 
     # -- initialization ------------------------------------------------------
 

@@ -115,6 +115,20 @@ class TrainBatchNorm(nn.Module):
             # computed on the LR tensor, the upsampled tensor never exists
             if isinstance(p, Up2):
                 return up2_moments(p.x, p.mode)
+            from dip_tpu.ops import dispatch
+
+            if dispatch.bn_moments() == "sumsq":
+                # single pass over p: sum and sum-of-squares reduce in one
+                # fused read (jnp.var re-reads p after the mean is known);
+                # f32 accumulation, var = E[p^2] - E[p]^2
+                m = p.shape[0] * p.shape[1] * p.shape[2]
+                s1 = jnp.einsum("nhwc->c", p,
+                                preferred_element_type=jnp.float32)
+                s2 = jnp.einsum("nhwc,nhwc->c", p, p,
+                                preferred_element_type=jnp.float32)
+                mean = s1 / m
+                var = jnp.maximum(s2 / m - mean * mean, 0.0)
+                return mean.astype(p.dtype), var.astype(p.dtype)
             return jnp.mean(p, axis=(0, 1, 2)), jnp.var(p, axis=(0, 1, 2))
 
         if as_affine:

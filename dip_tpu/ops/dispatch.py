@@ -59,6 +59,12 @@ Flag reference (env var -> flag, default):
                        (ops/up_conv.py). 'auto' (default: on whenever the
                        dots conv lowering is active for the trace dtype),
                        '1'/'on', '0'/'off'.
+ - DIP_BN_MOMENTS   -> bn_moments: 'twopass' (default: jnp.mean + jnp.var —
+                       the variance pass re-reads x after the mean is
+                       known) | 'sumsq' (single-read sum/sum-of-squares
+                       einsums with f32 accumulation, var = E[x^2]-E[x]^2;
+                       XLA fuses both reduces into one pass over x). Perf
+                       experiment (tools/profile_step.py 'bf16_bnsumsq').
 """
 
 from __future__ import annotations
@@ -86,6 +92,8 @@ _flags = {
     "up_shifts": os.environ.get("DIP_UP_SHIFTS", "") == "1",
     "up_conv": {"1": "on", "on": "on", "0": "off", "off": "off"}.get(
         os.environ.get("DIP_UP_CONV", ""), "auto"),
+    "bn_moments": ("sumsq" if os.environ.get("DIP_BN_MOMENTS", "") == "sumsq"
+                   else "twopass"),
 }
 
 
@@ -110,6 +118,8 @@ def set_flags(**kwargs) -> dict:
             raise ValueError(f"conv_impl must be one of {_VALID_CONV_IMPL}")
         if k == "up_conv" and v not in ("auto", "on", "off"):
             raise ValueError("up_conv must be 'auto', 'on' or 'off'")
+        if k == "bn_moments" and v not in ("twopass", "sumsq"):
+            raise ValueError("bn_moments must be 'twopass' or 'sumsq'")
         prev[k] = _flags[k]
         _flags[k] = v
     return prev
@@ -159,6 +169,10 @@ def pallas_wgrad_mode() -> str:
 
 def up_shifts() -> bool:
     return _flags["up_shifts"]
+
+
+def bn_moments() -> str:
+    return _flags["bn_moments"]
 
 
 def up_conv_on(dtype) -> bool:

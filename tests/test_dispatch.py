@@ -47,6 +47,22 @@ def test_conv_impl_through_fitconfig():
     np.testing.assert_allclose(outs[0], outs[1], atol=2e-5)
 
 
+def test_bn_moments_sumsq_matches_twopass():
+    """The single-read sum/sumsq BN statistics lowering is numerically
+    equivalent to jnp.mean+jnp.var through a full fit (fwd + bwd + Adam)."""
+    target = jnp.full((1, 16, 16, 3), 0.5)
+    z = get_noise(jax.random.key(1), 4, "noise", (16, 16))
+    outs = []
+    for bnm in ("twopass", "sumsq"):
+        cfg = FitConfig(num_iter=4, lr=0.01, log_every=4, bn_moments=bnm)
+        eng = Engine(_tiny_model(), lambda p, o, a: mse(o, a), cfg)
+        state = eng.init_state(jax.random.key(0), z)
+        state, hist = eng.run(state, target)
+        assert np.isfinite(hist["loss"]).all()
+        outs.append(np.asarray(eng.render(state)))
+    np.testing.assert_allclose(outs[0], outs[1], atol=2e-5)
+
+
 def test_engine_cache_key_structural():
     """Two separately-constructed identical specs share ONE Engine (and so
     one compiled program); a different metrics target does not."""

@@ -38,7 +38,8 @@ def time_variant(name, size, iters, *, upsample="bilinear", metrics=True,
                  jitter=True, ema=True, compute_dtype=None, grad=True,
                  optimizer="adam", pad="reflection", skip_ch=4,
                  fold_bn=False, rng_impl=None, unroll=1, dots=None,
-                 pack=None, upc=None, s2dwide=None, dvjp=None, s2df32=None):
+                 pack=None, upc=None, s2dwide=None, dvjp=None, s2df32=None,
+                 bnm=None):
     import jax
     import jax.numpy as jnp
 
@@ -62,7 +63,7 @@ def time_variant(name, size, iters, *, upsample="bilinear", metrics=True,
                     rng_impl=rng_impl, scan_unroll=unroll,
                     pack_small_threshold=pack, conv_impl=conv_impl,
                     up_conv=upc, conv_s2d_wide=s2dwide, dots_vjp=dvjp,
-                    s2d_f32=s2df32)
+                    s2d_f32=s2df32, bn_moments=bnm)
     eng = Engine(model, lambda p, o, a: mse(o, a), cfg,
                  default_metrics(target) if metrics else None)
     z = get_noise(jax.random.key(1), 32, "noise", (size, size))
@@ -159,6 +160,10 @@ VARIANTS = {
                        "rng_impl": "rbg", "s2dwide": True, "dvjp": True},
     # f32: space-to-depth for just the input conv, conv ops elsewhere
     "f32_s2d": {"fold_bn": True, "rng_impl": "rbg", "s2df32": True},
+    # single-read fused sum/sumsq BN statistics (DIP_BN_MOMENTS='sumsq')
+    "bf16_bnsumsq": {"compute_dtype": "bfloat16", "fold_bn": True,
+                     "rng_impl": "rbg", "bnm": "sumsq"},
+    "f32_bnsumsq": {"fold_bn": True, "rng_impl": "rbg", "bnm": "sumsq"},
     # nearest upsampling needs NO boundary corrections: isolates their cost
     "bf16_near_upc_on": {"compute_dtype": "bfloat16", "fold_bn": True,
                          "rng_impl": "rbg", "upsample": "nearest",
