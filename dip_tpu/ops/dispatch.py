@@ -26,12 +26,15 @@ Flag reference (env var -> flag, default):
                        '0'/'conv'.
  - DIP_CONV_S2D     -> conv_s2d: space-to-depth stride-2 thin-channel conv,
                        on unless '0'.
- - DIP_CONV_S2D_WIDE -> conv_s2d_wide: '1' extends space-to-depth to ALL
+ - DIP_CONV_S2D_WIDE -> conv_s2d_wide: extends space-to-depth to ALL
                        stride-2 convs (not just thin-channel inputs): the
                        encoder's 128-ch stride-2 convs trade 9 strided tap
                        slices for one s2d rearrange + unit slices at 4x
-                       lane width. Perf experiment (tools/profile_step.py
-                       'bf16_s2dwide').
+                       lane width. Default ON since the r4 wave-5 sweep
+                       (82.58 vs 80.64 it/s bf16 @512^2, and 84.52 combined
+                       with bn_moments='sumsq'); '0' disables. Only
+                       consulted on the dots lowering path (bf16), so the
+                       f32 conv-op path is unaffected.
  - DIP_DOTS_F32_BF16MUL -> dots_f32_bf16mul: bf16-multiply f32-accumulate
                        taps for f32 dots ('1' only; measured slower than
                        the f32 conv-op path, kept as an experiment).
@@ -59,12 +62,13 @@ Flag reference (env var -> flag, default):
                        (ops/up_conv.py). 'auto' (default: on whenever the
                        dots conv lowering is active for the trace dtype),
                        '1'/'on', '0'/'off'.
- - DIP_BN_MOMENTS   -> bn_moments: 'twopass' (default: jnp.mean + jnp.var —
-                       the variance pass re-reads x after the mean is
-                       known) | 'sumsq' (single-read sum/sum-of-squares
-                       einsums with f32 accumulation, var = E[x^2]-E[x]^2;
-                       XLA fuses both reduces into one pass over x). Perf
-                       experiment (tools/profile_step.py 'bf16_bnsumsq').
+ - DIP_BN_MOMENTS   -> bn_moments: 'sumsq' (default since the r4 wave-6
+                       sweep: single-read sum/sum-of-squares einsums with
+                       f32 accumulation, var = E[x^2]-E[x]^2; XLA fuses
+                       both reduces into one pass over x — 81.87 vs 80.64
+                       it/s bf16 and 40.05 vs 35.85 it/s f32 @512^2) |
+                       'twopass' (jnp.mean + jnp.var — the variance pass
+                       re-reads x after the mean is known).
 """
 
 from __future__ import annotations
@@ -83,7 +87,7 @@ def _conv_impl_from_env() -> str:
 _flags = {
     "conv_impl": _conv_impl_from_env(),
     "conv_s2d": os.environ.get("DIP_CONV_S2D", "") != "0",
-    "conv_s2d_wide": os.environ.get("DIP_CONV_S2D_WIDE", "") == "1",
+    "conv_s2d_wide": os.environ.get("DIP_CONV_S2D_WIDE", "") != "0",
     "dots_f32_bf16mul": os.environ.get("DIP_DOTS_F32_BF16MUL", "") == "1",
     "dots_acc_f32": os.environ.get("DIP_DOTS_ACC_F32", "") == "1",
     "dots_vjp": os.environ.get("DIP_DOTS_VJP", "") == "1",
@@ -92,8 +96,9 @@ _flags = {
     "up_shifts": os.environ.get("DIP_UP_SHIFTS", "") == "1",
     "up_conv": {"1": "on", "on": "on", "0": "off", "off": "off"}.get(
         os.environ.get("DIP_UP_CONV", ""), "auto"),
-    "bn_moments": ("sumsq" if os.environ.get("DIP_BN_MOMENTS", "") == "sumsq"
-                   else "twopass"),
+    "bn_moments": ("twopass"
+                   if os.environ.get("DIP_BN_MOMENTS", "") == "twopass"
+                   else "sumsq"),
 }
 
 

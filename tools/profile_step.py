@@ -164,6 +164,11 @@ VARIANTS = {
     "bf16_bnsumsq": {"compute_dtype": "bfloat16", "fold_bn": True,
                      "rng_impl": "rbg", "bnm": "sumsq"},
     "f32_bnsumsq": {"fold_bn": True, "rng_impl": "rbg", "bnm": "sumsq"},
+    # wave-6 combined winners (each measured a win alone in the r4 sweep)
+    "bf16_w6": {"compute_dtype": "bfloat16", "fold_bn": True,
+                "rng_impl": "rbg", "s2dwide": True, "bnm": "sumsq"},
+    "f32_bnsumsq_upc": {"fold_bn": True, "rng_impl": "rbg", "bnm": "sumsq",
+                        "upc": "on"},
     # nearest upsampling needs NO boundary corrections: isolates their cost
     "bf16_near_upc_on": {"compute_dtype": "bfloat16", "fold_bn": True,
                          "rng_impl": "rbg", "upsample": "nearest",
