@@ -169,6 +169,11 @@ VARIANTS = {
                 "rng_impl": "rbg", "s2dwide": True, "bnm": "sumsq"},
     "f32_bnsumsq_upc": {"fold_bn": True, "rng_impl": "rbg", "bnm": "sumsq",
                         "upc": "on"},
+    # wave-7 candidates on top of the shipped w6 defaults (s2dwide+sumsq
+    # are now the process defaults, so plain pack/unroll rows measure the
+    # lever ON TOP of them; the round-2b rows predate the dots lowering)
+    "f32_pack": {"fold_bn": True, "rng_impl": "rbg", "pack": 1 << 15},
+    "f32_unroll2": {"fold_bn": True, "rng_impl": "rbg", "unroll": 2},
     # nearest upsampling needs NO boundary corrections: isolates their cost
     "bf16_near_upc_on": {"compute_dtype": "bfloat16", "fold_bn": True,
                          "rng_impl": "rbg", "upsample": "nearest",
