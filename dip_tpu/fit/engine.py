@@ -112,6 +112,12 @@ class FitConfig:
     # (single-read fused sum/sum-of-squares, models/blocks.py). None =
     # process default (DIP_BN_MOMENTS env). Perf experiment.
     bn_moments: str | None = None
+    # Fused-seam emission: 'auto' (dots taps on the bf16 dots lowering,
+    # one conv op on the f32 conv-op lowering — the wave-7 measured split)
+    # | 'dots' (9 tap matmuls) | 'conv' (one XLA conv with the (3,3,C,4F)
+    # effective kernel — tap accumulation stays on-chip, ops/up_conv.py).
+    # None = process default (DIP_UP_CONV_IMPL).
+    up_conv_impl: str | None = None
 
 
 class FitState(NamedTuple):
@@ -217,7 +223,8 @@ class Engine:
                                  conv_s2d_wide=self.cfg.conv_s2d_wide,
                                  dots_vjp=self.cfg.dots_vjp,
                                  s2d_f32=self.cfg.s2d_f32,
-                                 bn_moments=self.cfg.bn_moments)
+                                 bn_moments=self.cfg.bn_moments,
+                                 up_conv_impl=self.cfg.up_conv_impl)
 
     # -- initialization ------------------------------------------------------
 

@@ -59,9 +59,31 @@ Flag reference (env var -> flag, default):
  - DIP_UP_SHIFTS    -> up_shifts: shifted-adds bilinear upsample ('1' only;
                        measured slower than the banded-matmul resize).
  - DIP_UP_CONV      -> up_conv: fused upsample2x->conv3x3 decoder seam
-                       (ops/up_conv.py). 'auto' (default: on whenever the
-                       dots conv lowering is active for the trace dtype),
-                       '1'/'on', '0'/'off'.
+                       (ops/up_conv.py). 'auto' (default: ON for both trace
+                       dtypes since the r4 wave-7 sweep — as 9 tap matmuls
+                       on the bf16 dots lowering, as ONE conv op on the f32
+                       conv-op lowering), '1'/'on', '0'/'off'.
+ - DIP_UP_CONV_IMPL -> up_conv_impl: how the fused seam's 36 LR taps are
+                       emitted. 'dots' (9 shifted-tap matmuls summed in
+                       HBM — each tap re-reads/re-writes the full 4F
+                       accumulator, ~144 MB/tap at the top seam) |
+                       'conv' (ONE lax.conv_general_dilated with the
+                       (3,3,C,4F) effective kernel: tap accumulation stays
+                       in VMEM/registers, HBM traffic drops to one input
+                       read + one output write) | 'im2col' (materialize
+                       the 9 taps once along channels, ONE [NHW,9C]@[9C,4F]
+                       dot — less traffic than 9 accumulator round-trips,
+                       natural dot layouts) | 'pallas' (VMEM-resident tap
+                       accumulation + in-kernel phase->HR interleave,
+                       ops/pallas_up_conv.py; falls back to dots outside
+                       the kernel's shape envelope). 'auto' (default)
+                       follows the conv lowering for the trace dtype:
+                       'dots' on the bf16 dots path, 'im2col' on the f32
+                       conv-op path — the measured-best split of the r4
+                       wave-7/8 sweeps (bf16: 85.3-85.9 dots ~= 85.6
+                       im2col > 80.0 conv; f32: 43.7 im2col > 42.8-42.9
+                       conv > 40.3 seam-off > 39.5 dots, it/s @512^2,
+                       results/profile.jsonl).
  - DIP_BN_MOMENTS   -> bn_moments: 'sumsq' (default since the r4 wave-6
                        sweep: single-read sum/sum-of-squares einsums with
                        f32 accumulation, var = E[x^2]-E[x]^2; XLA fuses
@@ -99,6 +121,9 @@ _flags = {
     "bn_moments": ("twopass"
                    if os.environ.get("DIP_BN_MOMENTS", "") == "twopass"
                    else "sumsq"),
+    "up_conv_impl": {"conv": "conv", "dots": "dots", "im2col": "im2col",
+                     "pallas": "pallas"}.get(
+        os.environ.get("DIP_UP_CONV_IMPL", ""), "auto"),
 }
 
 
@@ -125,6 +150,10 @@ def set_flags(**kwargs) -> dict:
             raise ValueError("up_conv must be 'auto', 'on' or 'off'")
         if k == "bn_moments" and v not in ("twopass", "sumsq"):
             raise ValueError("bn_moments must be 'twopass' or 'sumsq'")
+        if k == "up_conv_impl" and v not in ("auto", "dots", "conv",
+                                             "im2col", "pallas"):
+            raise ValueError("up_conv_impl must be 'auto', 'dots', 'conv', "
+                             "'im2col' or 'pallas'")
         prev[k] = _flags[k]
         _flags[k] = v
     return prev
@@ -180,14 +209,32 @@ def bn_moments() -> str:
     return _flags["bn_moments"]
 
 
+def _dots_lowering(dtype) -> bool:
+    """Whether the dots conv lowering is active for this trace dtype."""
+    impl = _flags["conv_impl"]
+    return impl == "dots" or (impl == "auto" and str(dtype) == "bfloat16")
+
+
+def up_conv_impl(dtype) -> str:
+    """How the fused seam emits its taps for this trace dtype. 'auto'
+    follows the conv lowering: 'dots' taps alongside the bf16 dots path
+    (im2col measured a wash there: 85.6 vs 85.3 it/s avg @512^2), one
+    im2col dot alongside the f32 conv-op path (43.71 vs 42.8 'conv' vs
+    40.3 seam-off, stable across two wave-8 sweeps)."""
+    v = _flags["up_conv_impl"]
+    if v != "auto":
+        return v
+    return "dots" if _dots_lowering(dtype) else "im2col"
+
+
 def up_conv_on(dtype) -> bool:
     """Whether the fused upsample2x->conv3x3 seam is active for this trace
-    dtype. 'auto' ties it to the dots conv lowering (same rationale: both
-    trade convolution-op layouts for natural dot_general layouts)."""
+    dtype. 'auto' = on for both lowerings since wave 7: the dots form wins
+    on the bf16 dots path (wave 4), and the single-conv-op form wins on the
+    f32 conv-op path (42.91 vs 40.3 it/s @512^2, results/profile.jsonl)."""
     v = _flags["up_conv"]
     if v == "on":
         return True
     if v == "off":
         return False
-    impl = _flags["conv_impl"]
-    return impl == "dots" or (impl == "auto" and str(dtype) == "bfloat16")
+    return _dots_lowering(dtype) or str(dtype) == "float32"

@@ -1,0 +1,269 @@
+"""Pallas TPU kernel for the fused 2x-upsample -> 3x3 conv decoder seam.
+
+The XLA emissions of the seam (ops/up_conv.py) leave real money on the
+table at the top decoder scale (LR 256^2, C=128 -> 4F=512 @ 512^2 input):
+
+ - 'dots' (9 shifted-tap matmuls): each tap re-reads and re-writes the
+   full 4F accumulator in HBM (~212 us/tap measured) — ~1.5 ms/iter bf16,
+   plus ~0.7 ms of reshape/transpose/copy turning the phase-major
+   [h, w, 2, 2, F] accumulator into the interleaved HR tensor;
+ - 'conv' (one XLA conv op): on-chip accumulation but convolution-op
+   layouts regress the surrounding dots program (measured, PERF.md wave 7);
+ - 'im2col': one dot, but the 9C column tensor still costs ~3x the input
+   in traffic (measured a wash).
+
+This kernel does what none of the XLA forms can express at once: the 9-tap
+accumulation lives in a f32 VMEM scratch (zero HBM accumulator traffic),
+and the phase->HR interleave happens in registers on the way out, so HBM
+sees exactly one read of the LR input and one write of the HR output.
+Speed-of-light for the top seam is ~0.39 ms of MXU time + ~0.1 ms of HBM
+time per direction, vs the ~2.2 ms the XLA forms spend.
+
+Shapes and tiling
+-----------------
+Forward: xp (N, h+2, w+2, C) [the edge-padded LR input from up_conv.py],
+e (3, 3, C, 4F) [the phase-folded effective kernel] -> z (N, 2h, 2w, F).
+The grid walks row tiles of TH LR rows. The 2-row halo every tile needs is
+expressed WITHOUT overlapping block specs (Pallas blocks are start =
+index * block_shape) by passing xp twice: a (TH, w+2, C) main block at row
+tile i and a (2, w+2, C) halo block at rows (i+1)*TH — the halo of the
+last tile is exactly xp's 2 trailing pad rows, so the grid covers the
+array with no remainder. Per tile, the 9 taps are static slices of the
+assembled (TH+2, w+2, C) VMEM tile feeding [TH*w, C] @ [C, 4F] MXU dots
+with f32 accumulation (NB: the XLA dots path accumulates cross-tap in
+bf16 for bandwidth reasons — in VMEM the f32 accumulator is free, so the
+kernel is numerically STRONGER than the shipped dots form), and the
+result is interleaved to (2*TH, 2w, F) in-kernel.
+
+Backward (custom_vjp): dgrad consumes dz zero-padded by 2 LR rows/cols on
+each side (one XLA pad; keeps every tile's tap window in-bounds) and
+emits dxp via the transposed taps dxp[r,s] = sum_{d,g} dacc[r-d, s-g] @
+e[d,g]^T; wgrad accumulates de[d,g] = xs^T @ dacc across row tiles in a
+persistent f32 VMEM scratch (TPU grids run sequentially) and writes it on
+the last step. Both de-interleave dz to phase form in VMEM.
+
+Dispatched via ops/dispatch.up_conv_impl == 'pallas'
+(DIP_UP_CONV_IMPL=pallas / FitConfig.up_conv_impl). up_conv.py falls back
+to the 'dots' form when the shape is outside the kernel's envelope
+(h % TH != 0, or the per-tile accumulator would overflow VMEM).
+Exactness vs the unfused reference path is pinned in tests/test_up_conv.py
+(interpret mode on CPU); parity on the TPU itself is asserted by
+tools/pallas_seam_check.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TH = 8  # LR rows per forward/wgrad tile; dgrad tiles TD = TH rows of dxp
+
+# v5e VMEM is ~16 MB/core; cap the forward tile's f32 accumulator so wide
+# images fall back to the XLA forms instead of failing to compile.
+_ACC_BYTES_MAX = 12 * 2 ** 20
+
+
+def seam_ok(n: int, h: int, w: int, c: int, f: int) -> bool:
+    """Whether the Pallas seam kernel supports this shape."""
+    if h % TH or h < TH:
+        return False
+    acc_bytes = TH * w * 4 * f * 4
+    return acc_bytes <= _ACC_BYTES_MAX
+
+
+def _interpret() -> bool:
+    return jax.devices()[0].platform != "tpu"
+
+
+# -- forward -----------------------------------------------------------------
+
+
+def _fwd_kernel(xm_ref, xh_ref, e_ref, out_ref, *, h, w, c, f):
+    xt = jnp.concatenate([xm_ref[0], xh_ref[0]], axis=0)  # (TH+2, w+2, C)
+    acc = jnp.zeros((TH * w, 4 * f), jnp.float32)
+    for d in range(3):
+        for g in range(3):
+            xs = xt[d:d + TH, g:g + w, :].reshape(TH * w, c)
+            acc = acc + jnp.dot(xs, e_ref[d, g],
+                                preferred_element_type=jnp.float32)
+    z = acc.reshape(TH, w, 2, 2, f).astype(out_ref.dtype)
+    # phase -> HR interleave in VMEM: out[2r+p, 2s+q, :] = z[r, s, p, q, :]
+    z = z.transpose(0, 2, 1, 3, 4).reshape(2 * TH, 2 * w, f)
+    out_ref[0] = z
+
+
+def _fwd(xp: jnp.ndarray, e: jnp.ndarray) -> jnp.ndarray:
+    n, hp, wp, c = xp.shape
+    h, w = hp - 2, wp - 2
+    f = e.shape[-1] // 4
+    grid = (n, h // TH)
+    kern = functools.partial(_fwd_kernel, h=h, w=w, c=c, f=f)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, TH, w + 2, c), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, w + 2, c),
+                         lambda b, i: (b, (i + 1) * (TH // 2), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 3, c, 4 * f), lambda b, i: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 2 * TH, 2 * w, f),
+                               lambda b, i: (b, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, 2 * h, 2 * w, f), xp.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * h * w * 9 * c * 4 * f,
+            bytes_accessed=(xp.size + e.size + n * 4 * h * w * f)
+            * xp.dtype.itemsize,
+            transcendentals=0),
+        interpret=_interpret(),
+    )(xp, xp, e)
+
+
+# -- backward: data gradient --------------------------------------------------
+
+
+def _dgrad_kernel(dm_ref, dh_ref, e_ref, out_ref, *, w, c, f):
+    dzt = jnp.concatenate([dm_ref[0], dh_ref[0]], axis=0)  # (2TH+4, 2w+8, F)
+    # de-interleave HR -> phase form (TH+2, w+4, 4F)
+    dac = dzt.reshape(TH + 2, 2, w + 4, 2, f)
+    dac = dac.transpose(0, 2, 1, 3, 4).reshape(TH + 2, w + 4, 4 * f)
+    acc = jnp.zeros((TH * (w + 2), c), jnp.float32)
+    for d in range(3):
+        for g in range(3):
+            ds_ = dac[2 - d:2 - d + TH, 2 - g:2 - g + w + 2, :]
+            acc = acc + jnp.dot(ds_.reshape(TH * (w + 2), 4 * f),
+                                e_ref[d, g].T,
+                                preferred_element_type=jnp.float32)
+    out_ref[0] = acc.reshape(TH, w + 2, c).astype(out_ref.dtype)
+
+
+def _dgrad(dz: jnp.ndarray, e: jnp.ndarray, xp_shape) -> jnp.ndarray:
+    n, hp, wp, c = xp_shape
+    h, w = hp - 2, wp - 2
+    f = e.shape[-1] // 4
+    # dxp has h+2 rows; produce ceil->(h+TH) rows tiled by TH and let the
+    # caller slice. dacc needs rows -2..h+TH-1+2 relative to its 0..h-1
+    # domain -> zero-pad dz by 4 HR rows top, 2*TH+4 bottom, 4 cols each
+    # side (ONE cheap XLA pad; keeps every tile's window in-bounds).
+    rows_out = h + TH
+    dzp = jnp.pad(dz, ((0, 0), (4, 2 * (rows_out + 2) - 2 * h - 4),
+                       (4, 4), (0, 0)))
+    grid = (n, rows_out // TH)
+    kern = functools.partial(_dgrad_kernel, w=w, c=c, f=f)
+    out = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 2 * TH, 2 * w + 8, f),
+                         lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, 2 * w + 8, f),
+                         lambda b, i: (b, (i + 1) * (TH // 2), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 3, c, 4 * f), lambda b, i: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, TH, w + 2, c), lambda b, i: (b, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, rows_out, w + 2, c), dz.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * rows_out * (w + 2) * 9 * c * 4 * f,
+            bytes_accessed=(dzp.size + e.size + n * rows_out * (w + 2) * c)
+            * dz.dtype.itemsize,
+            transcendentals=0),
+        interpret=_interpret(),
+    )(dzp, dzp, e)
+    return out[:, :h + 2]
+
+
+# -- backward: effective-kernel gradient --------------------------------------
+
+
+def _wgrad_kernel(xm_ref, xh_ref, dz_ref, out_ref, acc_ref, *, w, c, f):
+    b, i = pl.program_id(0), pl.program_id(1)
+    first = jnp.logical_and(b == 0, i == 0)
+    last = jnp.logical_and(b == pl.num_programs(0) - 1,
+                           i == pl.num_programs(1) - 1)
+
+    @pl.when(first)
+    def _():
+        acc_ref[...] = jnp.zeros((9, c, 4 * f), jnp.float32)
+
+    xt = jnp.concatenate([xm_ref[0], xh_ref[0]], axis=0)  # (TH+2, w+2, C)
+    dzt = dz_ref[0]                                       # (2TH, 2w, F)
+    dac = dzt.reshape(TH, 2, w, 2, f)
+    dac = dac.transpose(0, 2, 1, 3, 4).reshape(TH * w, 4 * f)
+    for d in range(3):
+        for g in range(3):
+            xs = xt[d:d + TH, g:g + w, :].reshape(TH * w, c)
+            acc_ref[3 * d + g] += jax.lax.dot_general(
+                xs, dac, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+    @pl.when(last)
+    def _():
+        out_ref[...] = acc_ref[...].reshape(3, 3, c, 4 * f).astype(
+            out_ref.dtype)
+
+
+def _wgrad(xp: jnp.ndarray, dz: jnp.ndarray) -> jnp.ndarray:
+    n, hp, wp, c = xp.shape
+    h, w = hp - 2, wp - 2
+    f = dz.shape[-1]
+    grid = (n, h // TH)
+    kern = functools.partial(_wgrad_kernel, w=w, c=c, f=f)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, TH, w + 2, c), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, w + 2, c),
+                         lambda b, i: (b, (i + 1) * (TH // 2), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * TH, 2 * w, f), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((3, 3, c, 4 * f), lambda b, i: (0, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, 3, c, 4 * f), xp.dtype),
+        scratch_shapes=[pltpu.VMEM((9, c, 4 * f), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * h * w * 9 * c * 4 * f,
+            bytes_accessed=(xp.size + dz.size + 9 * c * 4 * f)
+            * xp.dtype.itemsize,
+            transcendentals=0),
+        interpret=_interpret(),
+    )(xp, xp, dz)
+
+
+# -- custom_vjp wrapper --------------------------------------------------------
+
+
+@jax.custom_vjp
+def up2_conv3x3_pallas(xp: jnp.ndarray, e: jnp.ndarray) -> jnp.ndarray:
+    """Fused seam on the edge-padded LR input: xp (N,h+2,w+2,C),
+    e (3,3,C,4F) -> interleaved HR (N,2h,2w,F)."""
+    return _fwd(xp, e)
+
+
+def _vjp_fwd(xp, e):
+    return _fwd(xp, e), (xp, e)
+
+
+def _vjp_bwd(res, dz):
+    xp, e = res
+    dxp = _dgrad(dz.astype(xp.dtype), e, xp.shape)
+    de = _wgrad(xp, dz.astype(xp.dtype)).astype(e.dtype)
+    return dxp, de
+
+
+up2_conv3x3_pallas.defvjp(_vjp_fwd, _vjp_bwd)

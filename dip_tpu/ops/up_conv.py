@@ -44,10 +44,14 @@ Boundary semantics are preserved exactly:
 Exactness vs the unfused path (forward and gradients, both modes, both pad
 modes, odd/even sizes) is pinned in tests/test_up_conv.py.
 
-Dispatched via ops/dispatch.up_conv ('auto' = on whenever the dots conv
-lowering is active; DIP_UP_CONV / FitConfig.up_conv), created by the Skip
+Dispatched via ops/dispatch.up_conv ('auto' = on for both trace dtypes
+since wave 7; DIP_UP_CONV / FitConfig.up_conv), created by the Skip
 decoder as an `Up2` virtual part so BatchNorm/Conv never materialize the
-upsampled tensor (models/blocks.py).
+upsampled tensor (models/blocks.py). The 36-tap emission has two forms
+(ops/dispatch.up_conv_impl): 'dots' — 9 shifted-tap matmuls, best on the
+bf16 dots lowering — and 'conv' — ONE lax.conv_general_dilated with the
+(3,3,C,4F) effective kernel, which keeps the tap accumulation on-chip and
+wins on the f32 conv-op lowering (42.91 vs 40.3 it/s seam-off @512^2).
 """
 
 from __future__ import annotations
@@ -58,6 +62,7 @@ import numpy as np
 import jax.numpy as jnp
 from jax import lax
 
+from dip_tpu.ops import dispatch
 from dip_tpu.ops.dot_conv import _tap_dot
 
 
@@ -242,12 +247,47 @@ def up2_conv3x3(x: jnp.ndarray, kernel: jnp.ndarray,
     # gather/select fusions whose VJP cost ~0.5 ms/step at 512^2)
     xp = jnp.concatenate([x[:, :1], x, x[:, -1:]], axis=1)
     xp = jnp.concatenate([xp[:, :, :1], xp, xp[:, :, -1:]], axis=2)
-    acc = None
-    for d in range(3):
-        for g in range(3):
-            xs = lax.slice(xp, (0, d, g, 0), (n, d + h, g + w, c))
-            term = _tap_dot(xs, e[d, g])
-            acc = term if acc is None else acc + term
+    impl = dispatch.up_conv_impl(x.dtype)
+    if impl == "pallas":
+        from dip_tpu.ops import pallas_up_conv
+
+        if pallas_up_conv.seam_ok(n, h, w, c, f):
+            # VMEM-resident 9-tap accumulation + in-kernel phase->HR
+            # interleave (one LR read, one HR write; f32 accumulator).
+            z = pallas_up_conv.up2_conv3x3_pallas(xp, e)
+            if up_mode == "bilinear" and pad_mode in ("reflection",
+                                                      "reflect"):
+                z = _add_reflect_corrections(z, x, kernel)
+            return z
+        impl = "dots"  # shape outside the kernel envelope
+    if impl == "conv":
+        # ONE convolution op over the padded LR tensor with the (3,3,C,4F)
+        # effective kernel: the 9-tap accumulation happens inside the conv
+        # emitter (VMEM/registers), so HBM sees one input read + one output
+        # write instead of 9 round-trips of the 4F accumulator (the trace
+        # showed ~212 us/tap at the top seam = accumulator-bound, ~1.7
+        # ms/iter bf16 @512^2 across the 9 taps).
+        acc = lax.conv_general_dilated(
+            xp, e, window_strides=(1, 1), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    elif impl == "im2col":
+        # materialize the 9 shifted taps ONCE along channels and contract
+        # in ONE [N*h*w, 9C] @ [9C, 4F] dot: ~0.5 GB/step less HBM traffic
+        # than 9 accumulator round-trips at the top seam (the 9C column
+        # tensor is 9x the input but ~2.2x smaller than the taps' combined
+        # read+write of the 4F accumulator), and the dot keeps natural
+        # dot_general layouts (unlike the 'conv' emission).
+        cols = jnp.concatenate(
+            [lax.slice(xp, (0, d, g, 0), (n, d + h, g + w, c))
+             for d in range(3) for g in range(3)], axis=-1)
+        acc = _tap_dot(cols, e.reshape(9 * c, 4 * f))
+    else:
+        acc = None
+        for d in range(3):
+            for g in range(3):
+                xs = lax.slice(xp, (0, d, g, 0), (n, d + h, g + w, c))
+                term = _tap_dot(xs, e[d, g])
+                acc = term if acc is None else acc + term
     z = acc.astype(x.dtype).reshape(n, h, w, 2, 2, f)
     z = z.transpose(0, 1, 3, 2, 4, 5).reshape(n, 2 * h, 2 * w, f)
     if up_mode == "bilinear" and pad_mode in ("reflection", "reflect"):

@@ -32,6 +32,27 @@ def test_dispatch_flags_roundtrip():
         assert dispatch.flags() == base
 
 
+def test_up_conv_auto_policy():
+    """The wave-7 measured split: seam ON for both dtypes under 'auto';
+    dots emission on the bf16 dots lowering, one-conv-op emission on the
+    f32 conv-op lowering. Forcing either side still wins."""
+    bf16 = jnp.zeros((), jnp.bfloat16).dtype  # what skip.py passes: u.dtype
+    f32 = jnp.zeros((), jnp.float32).dtype
+    with dispatch.override(conv_impl="auto", up_conv="auto",
+                           up_conv_impl="auto"):
+        assert dispatch.up_conv_on(bf16)
+        assert dispatch.up_conv_on(f32)
+        assert dispatch.up_conv_impl(bf16) == "dots"
+        assert dispatch.up_conv_impl(f32) == "im2col"
+        # forced lowering drags the seam emission with it
+        with dispatch.override(conv_impl="dots"):
+            assert dispatch.up_conv_impl(f32) == "dots"
+        with dispatch.override(up_conv_impl="conv"):
+            assert dispatch.up_conv_impl(bf16) == "conv"
+        with dispatch.override(up_conv="off"):
+            assert not dispatch.up_conv_on(f32)
+
+
 def test_conv_impl_through_fitconfig():
     """cfg.conv_impl='dots' and 'conv' agree numerically (and both run)."""
     target = jnp.full((1, 16, 16, 3), 0.5)

@@ -28,31 +28,39 @@ def _unfused(x, kernel, up_mode, pad_mode):
                                     precision=lax.Precision.HIGHEST)
 
 
+@pytest.mark.parametrize("impl", ["dots", "conv", "im2col"])
 @pytest.mark.parametrize("up_mode", ["bilinear", "nearest"])
 @pytest.mark.parametrize("pad_mode", ["reflection", "replication"])
 @pytest.mark.parametrize("hw", [(2, 2), (3, 5), (8, 8), (5, 2)])
-def test_up2_conv3x3_matches_unfused(up_mode, pad_mode, hw):
+def test_up2_conv3x3_matches_unfused(impl, up_mode, pad_mode, hw):
+    from dip_tpu.ops import dispatch
+
     h, w = hw
     rng = np.random.default_rng(hash((up_mode, pad_mode, h, w)) % 2**32)
     x = jnp.asarray(rng.normal(size=(1, h, w, 5)).astype(np.float32))
     k = jnp.asarray(rng.normal(size=(3, 3, 5, 4)).astype(np.float32))
 
     want = _unfused(x, k, up_mode, pad_mode)
-    got = up2_conv3x3(x, k, up_mode, pad_mode)
+    with dispatch.override(up_conv_impl=impl):
+        got = up2_conv3x3(x, k, up_mode, pad_mode)
     assert got.shape == want.shape == (1, 2 * h, 2 * w, 4)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("impl", ["dots", "conv", "im2col"])
 @pytest.mark.parametrize("up_mode", ["bilinear", "nearest"])
-def test_up2_conv3x3_gradients_match(up_mode):
+def test_up2_conv3x3_gradients_match(impl, up_mode):
+    from dip_tpu.ops import dispatch
+
     rng = np.random.default_rng(7)
     x = jnp.asarray(rng.normal(size=(1, 6, 5, 3)).astype(np.float32))
     k = jnp.asarray(rng.normal(size=(3, 3, 3, 2)).astype(np.float32))
     cot = jnp.asarray(rng.normal(size=(1, 12, 10, 2)).astype(np.float32))
 
     def loss_fused(x, k):
-        return jnp.sum(up2_conv3x3(x, k, up_mode, "reflection") * cot)
+        with dispatch.override(up_conv_impl=impl):
+            return jnp.sum(up2_conv3x3(x, k, up_mode, "reflection") * cot)
 
     def loss_ref(x, k):
         return jnp.sum(_unfused(x, k, up_mode, "reflection") * cot)
@@ -137,3 +145,54 @@ def test_skip_fused_seam_grads_match():
     # bias grads exact zeros where tiny absolute noise dominates rtol
     assert float(jnp.linalg.norm(flat_on - flat_off)) <= 1e-4 * (
         1 + float(jnp.linalg.norm(flat_off)))
+
+
+@pytest.mark.parametrize("up_mode", ["bilinear", "nearest"])
+@pytest.mark.parametrize("pad_mode", ["reflection", "replication"])
+@pytest.mark.parametrize("hw", [(8, 8), (16, 5), (8, 12)])
+def test_up2_conv3x3_pallas_matches_unfused(up_mode, pad_mode, hw):
+    """The Pallas seam kernel (interpret mode on CPU) vs the unfused
+    reference path — forward AND both gradients. h must be a multiple of
+    the kernel's row tile (pallas_up_conv.TH); other shapes fall back to
+    dots inside up2_conv3x3 (covered by the tests above)."""
+    from dip_tpu.ops import dispatch
+
+    h, w = hw
+    rng = np.random.default_rng(hash((up_mode, pad_mode, h, w, 7)) % 2**32)
+    x = jnp.asarray(rng.normal(size=(1, h, w, 5)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(3, 3, 5, 4)).astype(np.float32))
+    cot = jnp.asarray(rng.normal(size=(1, 2 * h, 2 * w, 4)).astype(np.float32))
+
+    want = _unfused(x, k, up_mode, pad_mode)
+    with dispatch.override(up_conv_impl="pallas"):
+        got = up2_conv3x3(x, k, up_mode, pad_mode)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+    def loss_pl(x, k):
+        with dispatch.override(up_conv_impl="pallas"):
+            return jnp.sum(up2_conv3x3(x, k, up_mode, pad_mode) * cot)
+
+    def loss_ref(x, k):
+        return jnp.sum(_unfused(x, k, up_mode, pad_mode) * cot)
+
+    gx_p, gk_p = jax.grad(loss_pl, argnums=(0, 1))(x, k)
+    gx_r, gk_r = jax.grad(loss_ref, argnums=(0, 1))(x, k)
+    np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_r),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gk_p), np.asarray(gk_r),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_up2_conv3x3_pallas_batch():
+    """n>1 exercises the kernel's batch grid dimension."""
+    from dip_tpu.ops import dispatch
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(3, 8, 6, 5)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(3, 3, 5, 4)).astype(np.float32))
+    want = _unfused(x, k, "bilinear", "reflection")
+    with dispatch.override(up_conv_impl="pallas"):
+        got = up2_conv3x3(x, k, "bilinear", "reflection")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)

@@ -59,18 +59,36 @@ def flops_per_step(size: int = 512, dtype: str | None = "bfloat16",
                  default_metrics(target))
     z = get_noise(jax.random.key(1), 32, "noise", (size, size))
     state = eng.init_state(jax.random.key(0), z)
-    # lower WITHOUT donation (cost analysis doesn't need to execute)
-    lowered = jax.jit(lambda s: eng.run_chunk(s, target, length)).lower(state)
-    cost = lowered.compile().cost_analysis()
-    if isinstance(cost, list):  # older jax returns [dict]
-        cost = cost[0]
-    total = float(cost["flops"])
+
+    def total_flops(n):
+        # lower WITHOUT donation (cost analysis doesn't need to execute)
+        lowered = jax.jit(lambda s: eng.run_chunk(s, target, n)).lower(state)
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, list):  # older jax returns [dict]
+            cost = cost[0]
+        return float(cost["flops"])
+
+    # XLA's cost model counts a while-loop BODY ONCE — it does not multiply
+    # by the trip count (verified: length 4 and length 8 both report 593
+    # GFLOP total for this program). Detect which behavior this XLA has by
+    # comparing two lengths; if the totals match, the total IS the per-step
+    # cost (one body + the small out-of-loop prologue). The r4 MFU table
+    # originally divided by the scan length and under-reported FLOPs (and
+    # MFU) by ~8x.
+    t_a, t_b = total_flops(length), total_flops(2 * length)
+    if abs(t_b - t_a) < 0.01 * t_a:  # body counted once
+        per_step = t_a
+        counting = "body_once"
+    else:
+        per_step = (t_b - t_a) / length  # delta isolates the body cost
+        counting = "per_trip"
     return {
         "size": size,
         "dtype": dtype or "float32",
         "scan_length": length,
-        "flops_per_step": total / length,
-        "gflops_per_step": round(total / length / 1e9, 2),
+        "cost_model_counting": counting,
+        "flops_per_step": per_step,
+        "gflops_per_step": round(per_step / 1e9, 2),
     }
 
 

@@ -39,7 +39,7 @@ def time_variant(name, size, iters, *, upsample="bilinear", metrics=True,
                  optimizer="adam", pad="reflection", skip_ch=4,
                  fold_bn=False, rng_impl=None, unroll=1, dots=None,
                  pack=None, upc=None, s2dwide=None, dvjp=None, s2df32=None,
-                 bnm=None):
+                 bnm=None, upci=None):
     import jax
     import jax.numpy as jnp
 
@@ -63,7 +63,7 @@ def time_variant(name, size, iters, *, upsample="bilinear", metrics=True,
                     rng_impl=rng_impl, scan_unroll=unroll,
                     pack_small_threshold=pack, conv_impl=conv_impl,
                     up_conv=upc, conv_s2d_wide=s2dwide, dots_vjp=dvjp,
-                    s2d_f32=s2df32, bn_moments=bnm)
+                    s2d_f32=s2df32, bn_moments=bnm, up_conv_impl=upci)
     eng = Engine(model, lambda p, o, a: mse(o, a), cfg,
                  default_metrics(target) if metrics else None)
     z = get_noise(jax.random.key(1), 32, "noise", (size, size))
@@ -178,6 +178,27 @@ VARIANTS = {
     "bf16_near_upc_on": {"compute_dtype": "bfloat16", "fold_bn": True,
                          "rng_impl": "rbg", "upsample": "nearest",
                          "upc": "on"},
+    # wave-7a: fused seam as ONE conv op (tap accumulation on-chip) — the
+    # r4 trace showed the 9-tap HBM accumulator costing ~1.7 ms/iter bf16
+    "bf16_upcc": {"compute_dtype": "bfloat16", "fold_bn": True,
+                  "rng_impl": "rbg", "upci": "conv"},
+    # f32 has no fused seam by default (dots taps were a wash); the
+    # conv-impl seam is a different trade — measure it forced on
+    "f32_upcc": {"fold_bn": True, "rng_impl": "rbg", "upc": "on",
+                 "upci": "conv"},
+    # wave-8a: seam taps materialized once (im2col) + ONE dot — trades 9
+    # 4F-accumulator HBM round-trips for one 9C column tensor (~2.6x less
+    # traffic at the top seam) while keeping dot_general layouts
+    "bf16_upci": {"compute_dtype": "bfloat16", "fold_bn": True,
+                  "rng_impl": "rbg", "upci": "im2col"},
+    "f32_upci": {"fold_bn": True, "rng_impl": "rbg", "upc": "on",
+                 "upci": "im2col"},
+    # wave-8b: Pallas seam kernel — VMEM tap accumulation + in-kernel
+    # phase->HR interleave, custom_vjp with Pallas dgrad/wgrad
+    "bf16_upcp": {"compute_dtype": "bfloat16", "fold_bn": True,
+                  "rng_impl": "rbg", "upci": "pallas"},
+    "f32_upcp": {"fold_bn": True, "rng_impl": "rbg", "upc": "on",
+                 "upci": "pallas"},
     "bf16_near_upc_off": {"compute_dtype": "bfloat16", "fold_bn": True,
                           "rng_impl": "rbg", "upsample": "nearest",
                           "upc": "off"},

@@ -55,22 +55,21 @@ def build_chunk(size: int, iters: int, compute_dtype: str | None,
 
 
 def parse_xplane(logdir: str, top_k: int = 40):
-    """Convert the captured .xplane.pb into op-level stats."""
-    from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
-
+    """Aggregate the captured .xplane.pb into op-level stats. Uses the
+    direct XSpace parser (tools/xplane_stats.py) — the
+    tensorboard_plugin_profile converters are version-broken in this image
+    (pywrap mismatch, then a protobuf descriptor mismatch under the
+    pure-python workaround)."""
     paths = glob.glob(os.path.join(logdir, "**", "*.xplane.pb"),
                       recursive=True)
     if not paths:
         print("NO XPLANE CAPTURED", file=sys.stderr)
         return None
-    xspace = sorted(paths)[-1]
-    for tool in ("hlo_stats", "framework_op_stats", "tensorflow_stats"):
-        try:
-            data, _ = rtd.xspace_to_tool_data([xspace], tool, {})
-            return tool, data
-        except Exception as e:  # noqa: BLE001
-            print(f"tool {tool} failed: {e}", file=sys.stderr)
-    return None
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from xplane_stats import analyze
+
+    report = analyze(logdir, top=top_k)
+    return ("xplane_stats", report) if report else None
 
 
 def main():

@@ -57,15 +57,22 @@ def main():
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--json", default=None)
     args = ap.parse_args()
+    analyze(args.logdir, top=args.top, json_out=args.json)
 
-    if os.path.isdir(args.logdir):
+
+def analyze(logdir: str, top: int = 30, json_out: str | None = None) -> dict:
+    """Aggregate the newest .xplane.pb under `logdir` (or a direct path)
+    into per-category / per-op synchronous device-time totals; prints a
+    report and returns it. Importable (tools/profile_trace.py uses this —
+    the tensorboard_plugin_profile converters are broken in this image)."""
+    if os.path.isdir(logdir):
         paths = sorted(glob.glob(os.path.join(
-            args.logdir, "**", "*.xplane.pb"), recursive=True))
+            logdir, "**", "*.xplane.pb"), recursive=True))
         if not paths:
-            sys.exit(f"no .xplane.pb under {args.logdir}")
+            sys.exit(f"no .xplane.pb under {logdir}")
         path = paths[-1]
     else:
-        path = args.logdir
+        path = logdir
     xs = load_xspace(path)
 
     print(f"# {path}")
@@ -103,19 +110,20 @@ def main():
         print("\n-- by category --")
         for cat, ps in by_cat.most_common():
             print(f"{ps/1e9:10.3f} ms  {100*ps/total_ps:5.1f}%  {cat}")
-        print(f"\n-- top {args.top} ops --")
-        for name, ps in by_name.most_common(args.top):
+        print(f"\n-- top {top} ops --")
+        for name, ps in by_name.most_common(top):
             print(f"{ps/1e9:10.3f} ms  {100*ps/total_ps:5.1f}%  {name[:110]}")
         report[plane.name] = {
             "busy_ms": total_ps / 1e9,
             "span_ms": wall_ps / 1e9,
             "by_category_ms": {k: v / 1e9 for k, v in by_cat.items()},
-            "top_ops_ms": {k: v / 1e9 for k, v in by_name.most_common(args.top)},
+            "top_ops_ms": {k: v / 1e9 for k, v in by_name.most_common(top)},
         }
-    if args.json:
-        with open(args.json, "w") as f:
+    if json_out:
+        with open(json_out, "w") as f:
             json.dump(report, f, indent=1)
-        print(f"\nwrote {args.json}")
+        print(f"\nwrote {json_out}")
+    return report
 
 
 if __name__ == "__main__":
