@@ -60,7 +60,22 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TH = 8  # LR rows per forward/wgrad tile; dgrad tiles TD = TH rows of dxp
+# Row-tile sizes, per kernel and element size.  The v5e scoped-VMEM stack
+# is 16 MB; measured at the flagship top seam (LR 256^2, C=128, 4F=512):
+#  - fwd bf16 fits at 8 LR rows; f32 doubles every tile buffer and needs 4
+#    (8 overflowed by 10.4 MB);
+#  - dgrad's working set is ~2x fwd's (de-interleave temp + 4F tap
+#    slices): 4 dxp rows bf16 (8 overflowed by 128 KB), 2 for f32;
+#  - wgrad likewise: 4 LR rows bf16 (8 overflowed by 68 KB), 2 for f32.
+# Tiles must stay even: each halo block is addressed at (i+1)*(tile//2)
+# block granularity.  seam_ok requires h % 8 == 0 so every tile size in
+# this table divides the row count.
+_TH = 8  # bf16 forward
+
+
+def _tiles(itemsize: int) -> tuple[int, int, int]:
+    """(fwd, dgrad, wgrad) row tiles for an element size in bytes."""
+    return (8, 4, 4) if itemsize == 2 else (4, 2, 2)
 
 # v5e VMEM is ~16 MB/core; cap the forward tile's f32 accumulator so wide
 # images fall back to the XLA forms instead of failing to compile.
@@ -68,10 +83,20 @@ _ACC_BYTES_MAX = 12 * 2 ** 20
 
 
 def seam_ok(n: int, h: int, w: int, c: int, f: int) -> bool:
-    """Whether the Pallas seam kernel supports this shape."""
-    if h % TH or h < TH:
+    """Whether the Pallas seam kernel supports this shape.
+
+    C and F must be lane-width multiples: the kernels' phase split/merge
+    reshapes ((TH*w, 4F) <-> (TH, w, 2, 2, F)) are shape casts on the
+    minor dimension, which Mosaic only lowers when the minor dim stays
+    128-aligned (measured: f=64 fails 'infer-vector-layout: unsupported
+    shape cast' on v5e). The flagship skip-128 decoder is C=F=128 at
+    every seam; narrower seams fall back to the 'dots' emission.
+    """
+    if h % _TH or h < _TH:
         return False
-    acc_bytes = TH * w * 4 * f * 4
+    if c % 128 or f % 128:
+        return False
+    acc_bytes = _TH * w * 4 * f * 4
     return acc_bytes <= _ACC_BYTES_MAX
 
 
@@ -82,17 +107,17 @@ def _interpret() -> bool:
 # -- forward -----------------------------------------------------------------
 
 
-def _fwd_kernel(xm_ref, xh_ref, e_ref, out_ref, *, h, w, c, f):
-    xt = jnp.concatenate([xm_ref[0], xh_ref[0]], axis=0)  # (TH+2, w+2, C)
-    acc = jnp.zeros((TH * w, 4 * f), jnp.float32)
+def _fwd_kernel(xm_ref, xh_ref, e_ref, out_ref, *, th, w, c, f):
+    xt = jnp.concatenate([xm_ref[0], xh_ref[0]], axis=0)  # (th+2, w+2, C)
+    acc = jnp.zeros((th * w, 4 * f), jnp.float32)
     for d in range(3):
         for g in range(3):
-            xs = xt[d:d + TH, g:g + w, :].reshape(TH * w, c)
+            xs = xt[d:d + th, g:g + w, :].reshape(th * w, c)
             acc = acc + jnp.dot(xs, e_ref[d, g],
                                 preferred_element_type=jnp.float32)
-    z = acc.reshape(TH, w, 2, 2, f).astype(out_ref.dtype)
+    z = acc.reshape(th, w, 2, 2, f).astype(out_ref.dtype)
     # phase -> HR interleave in VMEM: out[2r+p, 2s+q, :] = z[r, s, p, q, :]
-    z = z.transpose(0, 2, 1, 3, 4).reshape(2 * TH, 2 * w, f)
+    z = z.transpose(0, 2, 1, 3, 4).reshape(2 * th, 2 * w, f)
     out_ref[0] = z
 
 
@@ -100,21 +125,22 @@ def _fwd(xp: jnp.ndarray, e: jnp.ndarray) -> jnp.ndarray:
     n, hp, wp, c = xp.shape
     h, w = hp - 2, wp - 2
     f = e.shape[-1] // 4
-    grid = (n, h // TH)
-    kern = functools.partial(_fwd_kernel, h=h, w=w, c=c, f=f)
+    th = _tiles(xp.dtype.itemsize)[0]
+    grid = (n, h // th)
+    kern = functools.partial(_fwd_kernel, th=th, w=w, c=c, f=f)
     return pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, TH, w + 2, c), lambda b, i: (b, i, 0, 0),
+            pl.BlockSpec((1, th, w + 2, c), lambda b, i: (b, i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2, w + 2, c),
-                         lambda b, i: (b, (i + 1) * (TH // 2), 0, 0),
+                         lambda b, i: (b, (i + 1) * (th // 2), 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, 3, c, 4 * f), lambda b, i: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 2 * TH, 2 * w, f),
+        out_specs=pl.BlockSpec((1, 2 * th, 2 * w, f),
                                lambda b, i: (b, i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, 2 * h, 2 * w, f), xp.dtype),
@@ -130,48 +156,50 @@ def _fwd(xp: jnp.ndarray, e: jnp.ndarray) -> jnp.ndarray:
 # -- backward: data gradient --------------------------------------------------
 
 
-def _dgrad_kernel(dm_ref, dh_ref, e_ref, out_ref, *, w, c, f):
-    dzt = jnp.concatenate([dm_ref[0], dh_ref[0]], axis=0)  # (2TH+4, 2w+8, F)
-    # de-interleave HR -> phase form (TH+2, w+4, 4F)
-    dac = dzt.reshape(TH + 2, 2, w + 4, 2, f)
-    dac = dac.transpose(0, 2, 1, 3, 4).reshape(TH + 2, w + 4, 4 * f)
-    acc = jnp.zeros((TH * (w + 2), c), jnp.float32)
+def _dgrad_kernel(dm_ref, dh_ref, e_ref, out_ref, *, td, w, c, f):
+    dzt = jnp.concatenate([dm_ref[0], dh_ref[0]], axis=0)  # (2td+4, 2w+8, F)
+    # de-interleave HR -> phase form (td+2, w+4, 4F)
+    dac = dzt.reshape(td + 2, 2, w + 4, 2, f)
+    dac = dac.transpose(0, 2, 1, 3, 4).reshape(td + 2, w + 4, 4 * f)
+    acc = jnp.zeros((td * (w + 2), c), jnp.float32)
     for d in range(3):
         for g in range(3):
-            ds_ = dac[2 - d:2 - d + TH, 2 - g:2 - g + w + 2, :]
-            acc = acc + jnp.dot(ds_.reshape(TH * (w + 2), 4 * f),
+            ds_ = dac[2 - d:2 - d + td, 2 - g:2 - g + w + 2, :]
+            acc = acc + jnp.dot(ds_.reshape(td * (w + 2), 4 * f),
                                 e_ref[d, g].T,
                                 preferred_element_type=jnp.float32)
-    out_ref[0] = acc.reshape(TH, w + 2, c).astype(out_ref.dtype)
+    out_ref[0] = acc.reshape(td, w + 2, c).astype(out_ref.dtype)
 
 
 def _dgrad(dz: jnp.ndarray, e: jnp.ndarray, xp_shape) -> jnp.ndarray:
     n, hp, wp, c = xp_shape
     h, w = hp - 2, wp - 2
     f = e.shape[-1] // 4
-    # dxp has h+2 rows; produce ceil->(h+TH) rows tiled by TH and let the
-    # caller slice. dacc needs rows -2..h+TH-1+2 relative to its 0..h-1
-    # domain -> zero-pad dz by 4 HR rows top, 2*TH+4 bottom, 4 cols each
-    # side (ONE cheap XLA pad; keeps every tile's window in-bounds).
-    rows_out = h + TH
-    dzp = jnp.pad(dz, ((0, 0), (4, 2 * (rows_out + 2) - 2 * h - 4),
+    # dxp has h+2 rows; produce ceil((h+2)/TD)*TD rows tiled by TD and let
+    # the caller slice. dacc needs rows -2..rows_out+1 relative to its
+    # 0..h-1 domain -> zero-pad dz by 4 HR rows top, 2*rows_out-2h bottom,
+    # 4 cols each side (ONE cheap XLA pad; keeps every tile's window
+    # in-bounds).
+    td = _tiles(dz.dtype.itemsize)[1]
+    rows_out = -(-(h + 2) // td) * td
+    dzp = jnp.pad(dz, ((0, 0), (4, 2 * rows_out - 2 * h),
                        (4, 4), (0, 0)))
-    grid = (n, rows_out // TH)
-    kern = functools.partial(_dgrad_kernel, w=w, c=c, f=f)
+    grid = (n, rows_out // td)
+    kern = functools.partial(_dgrad_kernel, td=td, w=w, c=c, f=f)
     out = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 2 * TH, 2 * w + 8, f),
+            pl.BlockSpec((1, 2 * td, 2 * w + 8, f),
                          lambda b, i: (b, i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 4, 2 * w + 8, f),
-                         lambda b, i: (b, (i + 1) * (TH // 2), 0, 0),
+                         lambda b, i: (b, (i + 1) * (td // 2), 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, 3, c, 4 * f), lambda b, i: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, TH, w + 2, c), lambda b, i: (b, i, 0, 0),
+        out_specs=pl.BlockSpec((1, td, w + 2, c), lambda b, i: (b, i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, rows_out, w + 2, c), dz.dtype),
         cost_estimate=pl.CostEstimate(
@@ -187,7 +215,7 @@ def _dgrad(dz: jnp.ndarray, e: jnp.ndarray, xp_shape) -> jnp.ndarray:
 # -- backward: effective-kernel gradient --------------------------------------
 
 
-def _wgrad_kernel(xm_ref, xh_ref, dz_ref, out_ref, acc_ref, *, w, c, f):
+def _wgrad_kernel(xm_ref, xh_ref, dz_ref, out_ref, acc_ref, *, tw, w, c, f):
     b, i = pl.program_id(0), pl.program_id(1)
     first = jnp.logical_and(b == 0, i == 0)
     last = jnp.logical_and(b == pl.num_programs(0) - 1,
@@ -197,13 +225,13 @@ def _wgrad_kernel(xm_ref, xh_ref, dz_ref, out_ref, acc_ref, *, w, c, f):
     def _():
         acc_ref[...] = jnp.zeros((9, c, 4 * f), jnp.float32)
 
-    xt = jnp.concatenate([xm_ref[0], xh_ref[0]], axis=0)  # (TH+2, w+2, C)
-    dzt = dz_ref[0]                                       # (2TH, 2w, F)
-    dac = dzt.reshape(TH, 2, w, 2, f)
-    dac = dac.transpose(0, 2, 1, 3, 4).reshape(TH * w, 4 * f)
+    xt = jnp.concatenate([xm_ref[0], xh_ref[0]], axis=0)  # (tw+2, w+2, C)
+    dzt = dz_ref[0]                                       # (2tw, 2w, F)
+    dac = dzt.reshape(tw, 2, w, 2, f)
+    dac = dac.transpose(0, 2, 1, 3, 4).reshape(tw * w, 4 * f)
     for d in range(3):
         for g in range(3):
-            xs = xt[d:d + TH, g:g + w, :].reshape(TH * w, c)
+            xs = xt[d:d + tw, g:g + w, :].reshape(tw * w, c)
             acc_ref[3 * d + g] += jax.lax.dot_general(
                 xs, dac, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
@@ -218,18 +246,19 @@ def _wgrad(xp: jnp.ndarray, dz: jnp.ndarray) -> jnp.ndarray:
     n, hp, wp, c = xp.shape
     h, w = hp - 2, wp - 2
     f = dz.shape[-1]
-    grid = (n, h // TH)
-    kern = functools.partial(_wgrad_kernel, w=w, c=c, f=f)
+    tw = _tiles(xp.dtype.itemsize)[2]
+    grid = (n, h // tw)
+    kern = functools.partial(_wgrad_kernel, tw=tw, w=w, c=c, f=f)
     return pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, TH, w + 2, c), lambda b, i: (b, i, 0, 0),
+            pl.BlockSpec((1, tw, w + 2, c), lambda b, i: (b, i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2, w + 2, c),
-                         lambda b, i: (b, (i + 1) * (TH // 2), 0, 0),
+                         lambda b, i: (b, (i + 1) * (tw // 2), 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2 * TH, 2 * w, f), lambda b, i: (b, i, 0, 0),
+            pl.BlockSpec((1, 2 * tw, 2 * w, f), lambda b, i: (b, i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((3, 3, c, 4 * f), lambda b, i: (0, 0, 0, 0),
