@@ -23,9 +23,12 @@ are committed under `results/`.
 
 Reference context (the repo publishes no numbers; paper values for scale):
 denoising sigma=25 CBSD68 ~29.22 dB; x4 SR Set14 ~27.00 dB (SURVEY.md §6).
-Throughput (`it/s`) is whole-recipe wall-clock including compilation; the
-steady-state loop rate is higher (see BENCH/PERF.md).  The measured PyTorch
-reference loop on this host runs at 0.127 it/s at 512^2
+Throughput (`it/s`) is whole-recipe wall-clock including compilation AND
+the tunneled backend's health at run time — identical recipes swing
+several-fold between sweeps (rows 9 vs 40 of reproduce.jsonl span
+3.2-18.7 it/s); treat the column as indicative only.  BENCH_r0N.json /
+`python bench.py` is the performance record; see docs/PERF.md.  The
+measured PyTorch reference loop on this host runs at 0.127 it/s at 512^2
 (`results/torch_baseline.json`).
 
 """
