@@ -216,15 +216,23 @@ def _dots_lowering(dtype) -> bool:
 
 
 def up_conv_impl(dtype) -> str:
-    """How the fused seam emits its taps for this trace dtype. 'auto'
-    follows the conv lowering: 'dots' taps alongside the bf16 dots path
-    (im2col measured a wash there: 85.6 vs 85.3 it/s avg @512^2), one
-    im2col dot alongside the f32 conv-op path (43.71 vs 42.8 'conv' vs
-    40.3 seam-off, stable across two wave-8 sweeps)."""
+    """How the fused seam emits its taps for this trace dtype. 'auto':
+
+    - bf16 (dots lowering): the Pallas fused kernel (ops/pallas_up_conv)
+      — VMEM-resident 9-tap accumulation + in-register phase interleave.
+      Measured wave 9 @512^2: 93.92 it/s vs 85.62 'dots' (TPU parity
+      asserted by tools/pallas_seam_check.py; shapes outside seam_ok fall
+      back to 'dots' inside up_conv.py). 'dots' vs 'im2col' there was a
+      wash (85.6 vs 85.3 avg).
+    - f32 (conv-op lowering): one im2col dot (43.71 vs 42.8 'conv' vs
+      40.3 seam-off, two wave-8 sweeps). The Pallas kernel REGRESSES f32
+      (39.28 vs 43.9 @512^2, wave 9): f32 halves every VMEM tile (2-row
+      dgrad/wgrad tiles), doubling grid steps against multi-pass MXU
+      work."""
     v = _flags["up_conv_impl"]
     if v != "auto":
         return v
-    return "dots" if _dots_lowering(dtype) else "im2col"
+    return "pallas" if _dots_lowering(dtype) else "im2col"
 
 
 def up_conv_on(dtype) -> bool:

@@ -33,20 +33,22 @@ def test_dispatch_flags_roundtrip():
 
 
 def test_up_conv_auto_policy():
-    """The wave-7 measured split: seam ON for both dtypes under 'auto';
-    dots emission on the bf16 dots lowering, one-conv-op emission on the
-    f32 conv-op lowering. Forcing either side still wins."""
+    """The measured split (waves 7-9): seam ON for both dtypes under
+    'auto'; Pallas fused kernel on the bf16 dots lowering (wave 9:
+    93.9 vs 85.6 it/s; shapes outside seam_ok fall back to 'dots' in
+    up_conv.py), one-im2col-dot emission on the f32 conv-op lowering
+    (the Pallas kernel regresses f32). Forcing either side still wins."""
     bf16 = jnp.zeros((), jnp.bfloat16).dtype  # what skip.py passes: u.dtype
     f32 = jnp.zeros((), jnp.float32).dtype
     with dispatch.override(conv_impl="auto", up_conv="auto",
                            up_conv_impl="auto"):
         assert dispatch.up_conv_on(bf16)
         assert dispatch.up_conv_on(f32)
-        assert dispatch.up_conv_impl(bf16) == "dots"
+        assert dispatch.up_conv_impl(bf16) == "pallas"
         assert dispatch.up_conv_impl(f32) == "im2col"
         # forced lowering drags the seam emission with it
         with dispatch.override(conv_impl="dots"):
-            assert dispatch.up_conv_impl(f32) == "dots"
+            assert dispatch.up_conv_impl(f32) == "pallas"
         with dispatch.override(up_conv_impl="conv"):
             assert dispatch.up_conv_impl(bf16) == "conv"
         with dispatch.override(up_conv="off"):

@@ -343,6 +343,44 @@ QUICK_GATE = {  # name -> (reduced_iters, history_key, psnr_floor_dB)
     "zebra4": (1000, "psnr_hr", 21.0),
 }
 
+# bf16 quality budget (VERDICT r4 item 7): bf16 is the headline dtype, so
+# its cost vs f32 is a tracked budget, not an anecdote. Policy: at gate
+# iters, each recipe's bf16 best PSNR must be >= the f32 best - GATE_DELTA
+# dB. The f32 reference rows come from the newest matching f32 rows in
+# gate.jsonl (refresh with `--quick-gate --compute-dtype float32` whenever
+# an f32-path default changes); the delta is recorded on every bf16 gate
+# row as `delta_vs_f32_db`.
+GATE_DELTA_DB = 0.75
+
+
+# gate name -> the "recipe" label its record carries (sans dtype tag)
+GATE_LABELS = {
+    "f16": "denoise/f16 sigma=25",
+    "kate": "inpaint/kate",
+    "zebra4": "sr/x4 zebra",
+}
+
+
+def _latest_f32_gate_rows(log_path, names):
+    """newest f32 gate row per recipe base name at the gate iters."""
+    ref = {}
+    if not os.path.exists(log_path):
+        return ref
+    base = {GATE_LABELS.get(n, n): n for n in names}
+    with open(log_path) as f:
+        for line in f:
+            try:
+                r = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if r.get("compute_dtype") != "float32":
+                continue
+            label = r.get("recipe", "").replace(" [float32]", "")
+            name = base.get(label)
+            if name is not None and r.get("iters") == QUICK_GATE[name][0]:
+                ref[name] = r  # later lines win: newest
+    return ref
+
 
 def main(argv=None):
     from dip_tpu.utils.platform import apply_platform_env
@@ -381,6 +419,14 @@ def main(argv=None):
                        "gate.jsonl" if args.quick_gate else "reproduce.jsonl")
     failures = []
     gate_rows = []
+    f32_ref = {}
+    if args.quick_gate and COMPUTE_DTYPE == "bfloat16":
+        f32_ref = _latest_f32_gate_rows(log, names)
+        missing = [n for n in names if n not in f32_ref]
+        if missing:
+            print(f"note: no f32 gate rows at gate iters for {missing} — "
+                  "delta budget unchecked there; refresh with "
+                  "`--quick-gate --compute-dtype float32`", flush=True)
     for name in names:
         print(f"=== {name} ===", flush=True)
         if args.quick_gate:
@@ -416,23 +462,36 @@ def main(argv=None):
         if COMPUTE_DTYPE:
             rec["compute_dtype"] = COMPUTE_DTYPE
             rec["recipe"] += f" [{COMPUTE_DTYPE}]"
-        with open(log, "a") as f:
-            f.write(json.dumps(rec) + "\n")
-        print(json.dumps(rec), flush=True)
         if args.quick_gate:
             _, key, floor = QUICK_GATE[name]
             best = rec.get(f"{key}_best")
-            gate_rows.append((name, key, best, floor))
+            delta = None
+            ref_best = f32_ref.get(name, {}).get(f"{key}_best")
+            if best is not None and ref_best is not None:
+                delta = round(float(best) - float(ref_best), 3)
+                rec["f32_ref_best"] = ref_best
+                rec["delta_vs_f32_db"] = delta
+            gate_rows.append((name, key, best, floor, delta))
+        with open(log, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        print(json.dumps(rec), flush=True)
     if failures:
         print(f"FAILED recipes: {failures}", flush=True)
         raise SystemExit(1)
     if args.quick_gate:
-        bad = [r for r in gate_rows
-               if r[2] is None or float(r[2]) < r[3]]
-        for name, key, best, floor in gate_rows:
-            status = "PASS" if (name, key, best, floor) not in bad else "FAIL"
-            print(f"gate {name:8s} {key}_best={best} floor={floor} {status}",
-                  flush=True)
+        bad = []
+        for name, key, best, floor, delta in gate_rows:
+            fail_floor = best is None or float(best) < floor
+            # the delta budget only binds for the headline dtype run
+            fail_delta = (COMPUTE_DTYPE == "bfloat16" and delta is not None
+                          and delta < -GATE_DELTA_DB)
+            dtxt = ("delta=n/a" if delta is None
+                    else f"delta={delta:+.2f}dB(budget -{GATE_DELTA_DB})")
+            status = "FAIL" if (fail_floor or fail_delta) else "PASS"
+            print(f"gate {name:8s} {key}_best={best} floor={floor} "
+                  f"{dtxt} {status}", flush=True)
+            if fail_floor or fail_delta:
+                bad.append(name)
         if bad:
             print("QUICK-GATE FAILED — do not flip dispatch defaults",
                   flush=True)
