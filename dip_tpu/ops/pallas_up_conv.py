@@ -35,12 +35,20 @@ bf16 for bandwidth reasons — in VMEM the f32 accumulator is free, so the
 kernel is numerically STRONGER than the shipped dots form), and the
 result is interleaved to (2*TH, 2w, F) in-kernel.
 
-Backward (custom_vjp): dgrad consumes dz zero-padded by 2 LR rows/cols on
-each side (one XLA pad; keeps every tile's tap window in-bounds) and
+Backward (custom_vjp): the HR cotangent dz is de-interleaved to phase
+form (N, h, w, 4F) ONCE in XLA-land (one transpose-copy ~0.2 ms at the
+flagship that usually fuses upstream), then both kernels consume
+phase-major tiles directly. Wave-9.5 rationale: the first version
+de-interleaved per-tile in VMEM, which (a) spent VPU shuffle time in the
+hot kernel and (b) doubled the tile working set — the r5 trace showed
+dgrad at 39% MFU vs wgrad's 74%, and the 8-row dgrad tile overflowed
+VMEM by 128 KB. Phase-major tiles halve the footprint, so the bwd tiles
+double (table below). dgrad consumes dz_phase zero-padded by 2 phase
+rows/cols (one XLA pad; keeps every tile's tap window in-bounds) and
 emits dxp via the transposed taps dxp[r,s] = sum_{d,g} dacc[r-d, s-g] @
 e[d,g]^T; wgrad accumulates de[d,g] = xs^T @ dacc across row tiles in a
-persistent f32 VMEM scratch (TPU grids run sequentially) and writes it on
-the last step. Both de-interleave dz to phase form in VMEM.
+persistent f32 VMEM scratch (TPU grids run sequentially) and writes it
+on the last step.
 
 Dispatched via ops/dispatch.up_conv_impl == 'pallas'
 (DIP_UP_CONV_IMPL=pallas / FitConfig.up_conv_impl). up_conv.py falls back
@@ -64,18 +72,23 @@ from jax.experimental.pallas import tpu as pltpu
 # is 16 MB; measured at the flagship top seam (LR 256^2, C=128, 4F=512):
 #  - fwd bf16 fits at 8 LR rows; f32 doubles every tile buffer and needs 4
 #    (8 overflowed by 10.4 MB);
-#  - dgrad's working set is ~2x fwd's (de-interleave temp + 4F tap
-#    slices): 4 dxp rows bf16 (8 overflowed by 128 KB), 2 for f32;
-#  - wgrad likewise: 4 LR rows bf16 (8 overflowed by 68 KB), 2 for f32.
+#  - bwd kernels consume PHASE-MAJOR dz (the de-interleave happens once
+#    in XLA — see module docstring), so they carry no in-VMEM shuffle
+#    temps.  wgrad fits 8 rows bf16.  dgrad stays at 4: its tile set
+#    (main+halo blocks double-buffered + the concat temp + live tap
+#    slice, all at 4F width) measured 19.38 MB at 8 rows inside the full
+#    train step — 3.4 MB over the 16 MB scoped-VMEM limit (the win at 4
+#    comes from deleting the per-tile de-interleave shuffle, not the
+#    tile size).
 # Tiles must stay even: each halo block is addressed at (i+1)*(tile//2)
-# block granularity.  seam_ok requires h % 8 == 0 so every tile size in
-# this table divides the row count.
+# block granularity for dgrad's 2-phase-row halo.  seam_ok requires
+# h % 8 == 0 so every tile size in this table divides the row count.
 _TH = 8  # bf16 forward
 
 
 def _tiles(itemsize: int) -> tuple[int, int, int]:
     """(fwd, dgrad, wgrad) row tiles for an element size in bytes."""
-    return (8, 4, 4) if itemsize == 2 else (4, 2, 2)
+    return (8, 4, 8) if itemsize == 2 else (4, 2, 4)
 
 # v5e VMEM is ~16 MB/core; cap the forward tile's f32 accumulator so wide
 # images fall back to the XLA forms instead of failing to compile.
@@ -157,10 +170,9 @@ def _fwd(xp: jnp.ndarray, e: jnp.ndarray) -> jnp.ndarray:
 
 
 def _dgrad_kernel(dm_ref, dh_ref, e_ref, out_ref, *, td, w, c, f):
-    dzt = jnp.concatenate([dm_ref[0], dh_ref[0]], axis=0)  # (2td+4, 2w+8, F)
-    # de-interleave HR -> phase form (td+2, w+4, 4F)
-    dac = dzt.reshape(td + 2, 2, w + 4, 2, f)
-    dac = dac.transpose(0, 2, 1, 3, 4).reshape(td + 2, w + 4, 4 * f)
+    # phase-major cotangent tile: (td+2, w+4, 4F), row j = phase row
+    # (i*td + j - 2) of the 0..h-1 dacc domain (zero outside)
+    dac = jnp.concatenate([dm_ref[0], dh_ref[0]], axis=0)
     acc = jnp.zeros((td * (w + 2), c), jnp.float32)
     for d in range(3):
         for g in range(3):
@@ -171,29 +183,29 @@ def _dgrad_kernel(dm_ref, dh_ref, e_ref, out_ref, *, td, w, c, f):
     out_ref[0] = acc.reshape(td, w + 2, c).astype(out_ref.dtype)
 
 
-def _dgrad(dz: jnp.ndarray, e: jnp.ndarray, xp_shape) -> jnp.ndarray:
+def _dgrad(dzq: jnp.ndarray, e: jnp.ndarray, xp_shape) -> jnp.ndarray:
+    """dzq: phase-major cotangent (N, h, w, 4F) -> dxp (N, h+2, w+2, C)."""
     n, hp, wp, c = xp_shape
     h, w = hp - 2, wp - 2
     f = e.shape[-1] // 4
     # dxp has h+2 rows; produce ceil((h+2)/TD)*TD rows tiled by TD and let
-    # the caller slice. dacc needs rows -2..rows_out+1 relative to its
-    # 0..h-1 domain -> zero-pad dz by 4 HR rows top, 2*rows_out-2h bottom,
-    # 4 cols each side (ONE cheap XLA pad; keeps every tile's window
+    # the caller slice. dacc needs phase rows -2..rows_out-1 relative to
+    # its 0..h-1 domain -> zero-pad dzq by 2 rows top, rows_out-h bottom,
+    # 2 cols each side (ONE cheap XLA pad; keeps every tile's window
     # in-bounds).
-    td = _tiles(dz.dtype.itemsize)[1]
+    td = _tiles(dzq.dtype.itemsize)[1]
     rows_out = -(-(h + 2) // td) * td
-    dzp = jnp.pad(dz, ((0, 0), (4, 2 * rows_out - 2 * h),
-                       (4, 4), (0, 0)))
+    dzp = jnp.pad(dzq, ((0, 0), (2, rows_out - h), (2, 2), (0, 0)))
     grid = (n, rows_out // td)
     kern = functools.partial(_dgrad_kernel, td=td, w=w, c=c, f=f)
     out = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 2 * td, 2 * w + 8, f),
+            pl.BlockSpec((1, td, w + 4, 4 * f),
                          lambda b, i: (b, i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4, 2 * w + 8, f),
+            pl.BlockSpec((1, 2, w + 4, 4 * f),
                          lambda b, i: (b, (i + 1) * (td // 2), 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, 3, c, 4 * f), lambda b, i: (0, 0, 0, 0),
@@ -201,11 +213,11 @@ def _dgrad(dz: jnp.ndarray, e: jnp.ndarray, xp_shape) -> jnp.ndarray:
         ],
         out_specs=pl.BlockSpec((1, td, w + 2, c), lambda b, i: (b, i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, rows_out, w + 2, c), dz.dtype),
+        out_shape=jax.ShapeDtypeStruct((n, rows_out, w + 2, c), dzq.dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * n * rows_out * (w + 2) * 9 * c * 4 * f,
             bytes_accessed=(dzp.size + e.size + n * rows_out * (w + 2) * c)
-            * dz.dtype.itemsize,
+            * dzq.dtype.itemsize,
             transcendentals=0),
         interpret=_interpret(),
     )(dzp, dzp, e)
@@ -226,9 +238,7 @@ def _wgrad_kernel(xm_ref, xh_ref, dz_ref, out_ref, acc_ref, *, tw, w, c, f):
         acc_ref[...] = jnp.zeros((9, c, 4 * f), jnp.float32)
 
     xt = jnp.concatenate([xm_ref[0], xh_ref[0]], axis=0)  # (tw+2, w+2, C)
-    dzt = dz_ref[0]                                       # (2tw, 2w, F)
-    dac = dzt.reshape(tw, 2, w, 2, f)
-    dac = dac.transpose(0, 2, 1, 3, 4).reshape(tw * w, 4 * f)
+    dac = dz_ref[0].reshape(tw * w, 4 * f)  # phase-major (tw, w, 4F) tile
     for d in range(3):
         for g in range(3):
             xs = xt[d:d + tw, g:g + w, :].reshape(tw * w, c)
@@ -242,10 +252,11 @@ def _wgrad_kernel(xm_ref, xh_ref, dz_ref, out_ref, acc_ref, *, tw, w, c, f):
             out_ref.dtype)
 
 
-def _wgrad(xp: jnp.ndarray, dz: jnp.ndarray) -> jnp.ndarray:
+def _wgrad(xp: jnp.ndarray, dzq: jnp.ndarray) -> jnp.ndarray:
+    """xp (N,h+2,w+2,C), dzq phase-major (N,h,w,4F) -> de (3,3,C,4F)."""
     n, hp, wp, c = xp.shape
     h, w = hp - 2, wp - 2
-    f = dz.shape[-1]
+    f = dzq.shape[-1] // 4
     tw = _tiles(xp.dtype.itemsize)[2]
     grid = (n, h // tw)
     kern = functools.partial(_wgrad_kernel, tw=tw, w=w, c=c, f=f)
@@ -258,7 +269,7 @@ def _wgrad(xp: jnp.ndarray, dz: jnp.ndarray) -> jnp.ndarray:
             pl.BlockSpec((1, 2, w + 2, c),
                          lambda b, i: (b, (i + 1) * (tw // 2), 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2 * tw, 2 * w, f), lambda b, i: (b, i, 0, 0),
+            pl.BlockSpec((1, tw, w, 4 * f), lambda b, i: (b, i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((3, 3, c, 4 * f), lambda b, i: (0, 0, 0, 0),
@@ -267,11 +278,11 @@ def _wgrad(xp: jnp.ndarray, dz: jnp.ndarray) -> jnp.ndarray:
         scratch_shapes=[pltpu.VMEM((9, c, 4 * f), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * n * h * w * 9 * c * 4 * f,
-            bytes_accessed=(xp.size + dz.size + 9 * c * 4 * f)
+            bytes_accessed=(xp.size + dzq.size + 9 * c * 4 * f)
             * xp.dtype.itemsize,
             transcendentals=0),
         interpret=_interpret(),
-    )(xp, xp, dz)
+    )(xp, xp, dzq)
 
 
 # -- custom_vjp wrapper --------------------------------------------------------
@@ -290,8 +301,13 @@ def _vjp_fwd(xp, e):
 
 def _vjp_bwd(res, dz):
     xp, e = res
-    dxp = _dgrad(dz.astype(xp.dtype), e, xp.shape)
-    de = _wgrad(xp, dz.astype(xp.dtype)).astype(e.dtype)
+    n, hh, ww, f = dz.shape
+    # HR -> phase-major ONCE in XLA (usually fuses with dz's producer);
+    # both kernels then stream natural-layout (.., w, 4F) slabs.
+    dzq = dz.astype(xp.dtype).reshape(n, hh // 2, 2, ww // 2, 2, f)
+    dzq = dzq.transpose(0, 1, 3, 2, 4, 5).reshape(n, hh // 2, ww // 2, 4 * f)
+    dxp = _dgrad(dzq, e, xp.shape)
+    de = _wgrad(xp, dzq).astype(e.dtype)
     return dxp, de
 
 

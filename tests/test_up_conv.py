@@ -196,3 +196,41 @@ def test_up2_conv3x3_pallas_batch():
         got = up2_conv3x3(x, k, "bilinear", "reflection")
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("hw", [(8, 8), (16, 12)])
+def test_pallas_kernel_inside_envelope(hw):
+    """The above pallas-impl tests use C=5/F=4, which seam_ok rejects
+    (128-lane alignment) — they pin the FALLBACK. This one runs the
+    actual kernels (interpret mode on CPU) with C=F=128 inside the
+    envelope: fwd + both phase-major backward kernels vs the dots
+    emission."""
+    from dip_tpu.ops import dispatch
+    from dip_tpu.ops.pallas_up_conv import seam_ok
+
+    h, w = hw
+    assert seam_ok(1, h, w, 128, 128)
+    rng = np.random.default_rng(h * 31 + w)
+    x = jnp.asarray(rng.normal(size=(1, h, w, 128)).astype(np.float32))
+    k = jnp.asarray(
+        rng.normal(size=(3, 3, 128, 128)).astype(np.float32)) * 0.1
+    cot = jnp.asarray(
+        rng.normal(size=(1, 2 * h, 2 * w, 128)).astype(np.float32))
+
+    def loss(x, k, impl):
+        with dispatch.override(up_conv_impl=impl):
+            z = up2_conv3x3(x, k, "bilinear", "reflection")
+        return jnp.sum(z * cot), z
+
+    (lp, zp), (gxp, gkp) = jax.value_and_grad(
+        lambda x, k: loss(x, k, "pallas"), argnums=(0, 1),
+        has_aux=True)(x, k)
+    (ld, zd), (gxd, gkd) = jax.value_and_grad(
+        lambda x, k: loss(x, k, "dots"), argnums=(0, 1),
+        has_aux=True)(x, k)
+    np.testing.assert_allclose(np.asarray(zp), np.asarray(zd),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gxp), np.asarray(gxd),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gkp), np.asarray(gkd),
+                               rtol=1e-3, atol=1e-3)
