@@ -108,6 +108,11 @@ class FitConfig:
     # through the space-to-depth dots form while keeping XLA conv ops
     # elsewhere. None = process default (DIP_S2D_F32 env). Perf experiment.
     s2d_f32: bool | None = None
+    # Packed space-to-depth form of the thin-channel stride-2 conv: one 4-D
+    # (N, H/2, W/2, 4C) s2d tensor + ceil(k/2)^2 full-lane tap dots instead
+    # of k^2 narrow slices of a 6-D view (ops/dot_conv.py, dispatch
+    # s2d_packed). None = process default (DIP_S2D_PACKED env).
+    s2d_packed: bool | None = None
     # BN statistics lowering: 'twopass' (jnp.mean + jnp.var) | 'sumsq'
     # (single-read fused sum/sum-of-squares, models/blocks.py). None =
     # process default (DIP_BN_MOMENTS env). Perf experiment.
@@ -223,6 +228,7 @@ class Engine:
                                  conv_s2d_wide=self.cfg.conv_s2d_wide,
                                  dots_vjp=self.cfg.dots_vjp,
                                  s2d_f32=self.cfg.s2d_f32,
+                                 s2d_packed=self.cfg.s2d_packed,
                                  bn_moments=self.cfg.bn_moments,
                                  up_conv_impl=self.cfg.up_conv_impl)
 

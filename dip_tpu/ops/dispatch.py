@@ -114,6 +114,7 @@ _flags = {
     "dots_acc_f32": os.environ.get("DIP_DOTS_ACC_F32", "") == "1",
     "dots_vjp": os.environ.get("DIP_DOTS_VJP", "") == "1",
     "s2d_f32": os.environ.get("DIP_S2D_F32", "") == "1",
+    "s2d_packed": os.environ.get("DIP_S2D_PACKED", "") == "1",
     "pallas_wgrad": os.environ.get("DIP_PALLAS_WGRAD", "0"),
     "up_shifts": os.environ.get("DIP_UP_SHIFTS", "") == "1",
     "up_conv": {"1": "on", "on": "on", "0": "off", "off": "off"}.get(
@@ -195,6 +196,17 @@ def dots_vjp() -> bool:
 
 def s2d_f32() -> bool:
     return _flags["s2d_f32"]
+
+
+def s2d_packed() -> bool:
+    """Packed space-to-depth stride-2 conv (dot_conv._conv_s2d): materialize
+    s2d ONCE as a 4-D (N, H/2, W/2, 4C) tensor (one transpose) and contract
+    with a (2, 2, 4C, F) remapped kernel in ceil(k/2)^2 full-lane-width tap
+    dots — instead of k^2 narrow slices of a 6-D view, whose layout copies
+    cost ~0.4 ms/iter bf16 at 512^2 on the 32-ch z input conv (r5 trace:
+    reshape.15281 + copy.2411/2412). Perf experiment (DIP_S2D_PACKED /
+    FitConfig.s2d_packed)."""
+    return _flags["s2d_packed"]
 
 
 def pallas_wgrad_mode() -> str:

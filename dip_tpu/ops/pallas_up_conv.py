@@ -88,7 +88,7 @@ _TH = 8  # bf16 forward
 
 def _tiles(itemsize: int) -> tuple[int, int, int]:
     """(fwd, dgrad, wgrad) row tiles for an element size in bytes."""
-    return (8, 4, 8) if itemsize == 2 else (4, 2, 4)
+    return (8, 8, 8) if itemsize == 2 else (4, 2, 4)
 
 # v5e VMEM is ~16 MB/core; cap the forward tile's f32 accumulator so wide
 # images fall back to the XLA forms instead of failing to compile.
@@ -170,17 +170,39 @@ def _fwd(xp: jnp.ndarray, e: jnp.ndarray) -> jnp.ndarray:
 
 
 def _dgrad_kernel(dm_ref, dh_ref, e_ref, out_ref, *, td, w, c, f):
-    # phase-major cotangent tile: (td+2, w+4, 4F), row j = phase row
-    # (i*td + j - 2) of the 0..h-1 dacc domain (zero outside)
-    dac = jnp.concatenate([dm_ref[0], dh_ref[0]], axis=0)
-    acc = jnp.zeros((td * (w + 2), c), jnp.float32)
+    # Phase-major cotangent window: main (td, w+4, 4F) + halo (2, w+4, 4F);
+    # window row j = phase row (i*td + j - 2) of the 0..h-1 dacc domain
+    # (zero outside).  Wave-9.7 structure: tap (d, g) needs window rows
+    # (2-d .. 2-d+td-1) at cols (2-g .. 2-g+w+1).  Slicing ROWS of the
+    # blocks is a contiguous fold (free shape cast); the g-shift moves to
+    # the OUTPUT side as a narrow (C-wide) slice-add on the f32
+    # accumulator.  vs the wave-9.5 form (concat main+halo, then 9 wide
+    # 4F slices): no (td+2)-row concat temp and no wide slice copies, so
+    # the VMEM budget fits td=8 (wave 9.5 measured 19.4 MB at td=8; this
+    # form frees the ~2.7 MB concat + ~2.1 MB live wide-slice temps).
+    main = dm_ref[0]
+    halo = dh_ref[0]
+    acc = jnp.zeros((td, w + 2, c), jnp.float32)
     for d in range(3):
         for g in range(3):
-            ds_ = dac[2 - d:2 - d + td, 2 - g:2 - g + w + 2, :]
-            acc = acc + jnp.dot(ds_.reshape(td * (w + 2), 4 * f),
-                                e_ref[d, g].T,
-                                preferred_element_type=jnp.float32)
-    out_ref[0] = acc.reshape(td, w + 2, c).astype(out_ref.dtype)
+            et = e_ref[d, g].T  # (4F, C)
+            # main rows 2-d .. td-1 -> out rows 0 .. td-3+d (may be empty
+            # when td == 2, the f32 tile); halo rows 0 .. 1-d -> out rows
+            # td-2+d .. td-1.  Together the pieces tile the td out rows.
+            m = td - 2 + d
+            pieces = []
+            if m > 0:
+                part = jnp.dot(main[2 - d:].reshape(m * (w + 4), 4 * f), et,
+                               preferred_element_type=jnp.float32)
+                pieces.append(part.reshape(m, w + 4, c))
+            if d < 2:
+                hs = halo[0:2 - d].reshape((2 - d) * (w + 4), 4 * f)
+                hp = jnp.dot(hs, et, preferred_element_type=jnp.float32)
+                pieces.append(hp.reshape(2 - d, w + 4, c))
+            part = (pieces[0] if len(pieces) == 1
+                    else jnp.concatenate(pieces, axis=0))
+            acc = acc + part[:, 2 - g:2 - g + w + 2]
+    out_ref[0] = acc.astype(out_ref.dtype)
 
 
 def _dgrad(dzq: jnp.ndarray, e: jnp.ndarray, xp_shape) -> jnp.ndarray:

@@ -205,6 +205,43 @@ def test_conv2d_dots_s2d_wide_exact():
                                    rtol=1e-4, atol=1e-4)
 
 
+def test_conv2d_dots_s2d_packed_exact():
+    """s2d_packed contracts the 4-D packed s2d tensor with the remapped
+    (qk, qk, 4C, F) kernel; it must stay exact vs the 6-D-view tap form
+    (fwd + both grads), across odd/even extents, k=3 and k=5, and both
+    the thin-channel (z input) and wide (conv_s2d_wide) routes."""
+    from dip_tpu.ops import dispatch
+    from dip_tpu.ops.dot_conv import conv2d_dots
+
+    rng = np.random.default_rng(13)
+    for (h, w), ch, kk in [((12, 10), 32, 3), ((11, 9), 32, 3),
+                           ((14, 14), 96, 3), ((13, 13), 32, 5)]:
+        x = jnp.asarray(rng.normal(size=(1, h, w, ch)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(kk, kk, ch, 8)), jnp.float32)
+        pad = ((kk // 2, kk // 2 - 1), (kk // 2, kk // 2 - 1))
+
+        def f(x, k):
+            return jnp.sum(conv2d_dots(x, k, 2, pad) ** 2)
+
+        wide = ch > 64
+        with dispatch.override(conv_s2d_wide=wide):
+            ref_out = np.asarray(conv2d_dots(x, k, 2, pad))
+            ref_gx, ref_gk = jax.grad(f, (0, 1))(x, k)
+            with dispatch.override(s2d_packed=True):
+                out = np.asarray(conv2d_dots(x, k, 2, pad))
+                gx, gk = jax.grad(f, (0, 1))(x, k)
+        np.testing.assert_allclose(out, ref_out, rtol=1e-5, atol=1e-5,
+                                   err_msg=str((h, w, ch, kk)))
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(ref_gx),
+                                   rtol=1e-3, atol=1e-3,
+                                   err_msg=str((h, w, ch, kk)))
+        # gk entries are O(1e2-1e3) sums over all output positions; the
+        # packed form's different accumulation order leaves ~1e-3 abs noise
+        np.testing.assert_allclose(np.asarray(gk), np.asarray(ref_gk),
+                                   rtol=1e-4, atol=5e-3,
+                                   err_msg=str((h, w, ch, kk)))
+
+
 def test_conv2d_dots_custom_vjp_exact():
     """dots_vjp's hand-written backward (dgrad-as-conv + per-tap wgrad
     einsums) matches autodiff of the tap form, for 3x3 pad-1 and the

@@ -39,7 +39,7 @@ def time_variant(name, size, iters, *, upsample="bilinear", metrics=True,
                  optimizer="adam", pad="reflection", skip_ch=4,
                  fold_bn=False, rng_impl=None, unroll=1, dots=None,
                  pack=None, upc=None, s2dwide=None, dvjp=None, s2df32=None,
-                 bnm=None, upci=None):
+                 bnm=None, upci=None, s2dpk=None):
     import jax
     import jax.numpy as jnp
 
@@ -63,7 +63,8 @@ def time_variant(name, size, iters, *, upsample="bilinear", metrics=True,
                     rng_impl=rng_impl, scan_unroll=unroll,
                     pack_small_threshold=pack, conv_impl=conv_impl,
                     up_conv=upc, conv_s2d_wide=s2dwide, dots_vjp=dvjp,
-                    s2d_f32=s2df32, bn_moments=bnm, up_conv_impl=upci)
+                    s2d_f32=s2df32, bn_moments=bnm, up_conv_impl=upci,
+                    s2d_packed=s2dpk)
     eng = Engine(model, lambda p, o, a: mse(o, a), cfg,
                  default_metrics(target) if metrics else None)
     z = get_noise(jax.random.key(1), 32, "noise", (size, size))
@@ -84,8 +85,10 @@ def time_variant(name, size, iters, *, upsample="bilinear", metrics=True,
             return jax.lax.scan(body, s, None, length=iters)
 
     chunk = jax.jit(chunk_fn)
+    t0 = time.perf_counter()
     state2, _ = chunk(state)  # compile + warm
     jax.block_until_ready(jax.tree_util.tree_leaves(state2)[0])
+    compile_s = time.perf_counter() - t0
     dt = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
@@ -94,7 +97,8 @@ def time_variant(name, size, iters, *, upsample="bilinear", metrics=True,
         dt = min(dt, time.perf_counter() - t0)
     ips = iters / dt
     rec = {"variant": name, "size": size, "iters": iters,
-           "it_per_s": round(ips, 2), "ms_per_iter": round(1000 * dt / iters, 2)}
+           "it_per_s": round(ips, 2), "ms_per_iter": round(1000 * dt / iters, 2),
+           "compile_s": round(compile_s, 1)}
     print(json.dumps(rec), flush=True)
     os.makedirs(OUTDIR, exist_ok=True)
     with open(os.path.join(OUTDIR, "profile.jsonl"), "a") as f:
@@ -202,6 +206,19 @@ VARIANTS = {
     "bf16_near_upc_off": {"compute_dtype": "bfloat16", "fold_bn": True,
                           "rng_impl": "rbg", "upsample": "nearest",
                           "upc": "off"},
+    # round-5: packed s2d for the thin-channel z input conv — one 4-D s2d
+    # transpose + 4 full-lane tap dots instead of 9 narrow 6-D-view slices
+    # (the r5 trace showed ~0.4 ms/iter of layout copies in that chain)
+    "bf16_s2dpk": {"compute_dtype": "bfloat16", "fold_bn": True,
+                   "rng_impl": "rbg", "s2dpk": True},
+    "f32_s2dpk": {"fold_bn": True, "rng_impl": "rbg", "bnm": "sumsq",
+                  "s2df32": True, "s2dpk": True},
+    # round-5: attribute the LBFGS recipe's 0.98 it/s (VERDICT r4 weak 3) —
+    # scanned optax.lbfgs step (zoom linesearch re-evals inside) vs the Adam
+    # step under the same f32 defaults; compile_s answers the
+    # recompile-per-chunk hypothesis
+    "f32_lbfgs": {"fold_bn": True, "rng_impl": "rbg", "bnm": "sumsq",
+                  "optimizer": "lbfgs"},
 }
 
 
