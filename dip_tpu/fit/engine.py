@@ -110,9 +110,11 @@ class FitConfig:
     s2d_f32: bool | None = None
     # Packed space-to-depth form of the thin-channel stride-2 conv: one 4-D
     # (N, H/2, W/2, 4C) s2d tensor + ceil(k/2)^2 full-lane tap dots instead
-    # of k^2 narrow slices of a 6-D view (ops/dot_conv.py, dispatch
-    # s2d_packed). None = process default (DIP_S2D_PACKED env).
-    s2d_packed: bool | None = None
+    # of k^2 narrow slices of a 6-D view (ops/dot_conv.py). 'off' | 'xla'
+    # (one XLA transpose — measured worse) | 'pallas' (one-pass kernel,
+    # ops/pallas_s2d) | 'auto' (pallas inside its envelope, else the 6-D
+    # path). None = process default (DIP_S2D_PACKED env).
+    s2d_packed: str | None = None
     # BN statistics lowering: 'twopass' (jnp.mean + jnp.var) | 'sumsq'
     # (single-read fused sum/sum-of-squares, models/blocks.py). None =
     # process default (DIP_BN_MOMENTS env). Perf experiment.

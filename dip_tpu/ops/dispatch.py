@@ -114,7 +114,9 @@ _flags = {
     "dots_acc_f32": os.environ.get("DIP_DOTS_ACC_F32", "") == "1",
     "dots_vjp": os.environ.get("DIP_DOTS_VJP", "") == "1",
     "s2d_f32": os.environ.get("DIP_S2D_F32", "") == "1",
-    "s2d_packed": os.environ.get("DIP_S2D_PACKED", "") == "1",
+    "s2d_packed": {"1": "xla", "xla": "xla", "pallas": "pallas",
+                   "auto": "auto"}.get(
+        os.environ.get("DIP_S2D_PACKED", ""), "off"),
     "pallas_wgrad": os.environ.get("DIP_PALLAS_WGRAD", "0"),
     "up_shifts": os.environ.get("DIP_UP_SHIFTS", "") == "1",
     "up_conv": {"1": "on", "on": "on", "0": "off", "off": "off"}.get(
@@ -198,14 +200,20 @@ def s2d_f32() -> bool:
     return _flags["s2d_f32"]
 
 
-def s2d_packed() -> bool:
+def s2d_packed() -> str:
     """Packed space-to-depth stride-2 conv (dot_conv._conv_s2d): materialize
-    s2d ONCE as a 4-D (N, H/2, W/2, 4C) tensor (one transpose) and contract
-    with a (2, 2, 4C, F) remapped kernel in ceil(k/2)^2 full-lane-width tap
-    dots — instead of k^2 narrow slices of a 6-D view, whose layout copies
-    cost ~0.4 ms/iter bf16 at 512^2 on the 32-ch z input conv (r5 trace:
-    reshape.15281 + copy.2411/2412). Perf experiment (DIP_S2D_PACKED /
-    FitConfig.s2d_packed)."""
+    s2d ONCE as a 4-D (N, H/2, W/2, 4C) tensor and contract with a
+    (2, 2, 4C, F) remapped kernel in ceil(k/2)^2 full-lane-width tap dots —
+    instead of k^2 narrow slices of a 6-D view, whose layout copies cost
+    ~0.4 ms/iter bf16 at 512^2 on the 32-ch z input conv (r5 trace).
+
+    'off'    = the 6-D-view tap path;
+    'xla'    = pack via one XLA transpose (measured WORSE: 10.80 vs 10.60
+               ms/iter bf16 @512^2 — the transpose costs more than the
+               narrow slices it replaces);
+    'pallas' = pack via the one-pass Pallas kernel (ops/pallas_s2d);
+    'auto'   = 'pallas' inside pallas_s2d.pack_ok, else the 6-D path.
+    DIP_S2D_PACKED / FitConfig.s2d_packed."""
     return _flags["s2d_packed"]
 
 
@@ -222,25 +230,42 @@ def bn_moments() -> str:
 
 
 def _dots_lowering(dtype) -> bool:
-    """Whether the dots conv lowering is active for this trace dtype."""
+    """Whether the dots conv lowering is active for this trace dtype.
+
+    'auto' = dots for BOTH dtypes since wave 10 (round 5): f32 re-measured
+    on the full dots lowering at 20.95 ms/iter @512^2 vs 22.78 for the
+    conv-op lowering (results/profile.jsonl 'f32_dotsfull' vs
+    'f32_bnsumsq').  The round-2 rejection of f32 dots predated sumsq
+    moments, s2d-wide, and the Pallas seam; on TPU f32 dot_generals run
+    DEFAULT precision (one bf16 pass, f32 accumulation) exactly like the
+    conv ops they replace, and the dots form avoids the conv emitter's
+    layout copies (9.9 ms/iter of the 22.2 ms f32 step in the r5 trace)."""
     impl = _flags["conv_impl"]
-    return impl == "dots" or (impl == "auto" and str(dtype) == "bfloat16")
+    return impl == "dots" or (impl == "auto"
+                              and str(dtype) in ("bfloat16", "float32"))
+
+
+def dots_lowering(dtype) -> bool:
+    """Public alias: whether convs lower to dots for this trace dtype
+    (consulted by pallas_wgrad.conv2d_fast and the seam dispatch)."""
+    return _dots_lowering(dtype)
 
 
 def up_conv_impl(dtype) -> str:
     """How the fused seam emits its taps for this trace dtype. 'auto':
 
-    - bf16 (dots lowering): the Pallas fused kernel (ops/pallas_up_conv)
-      — VMEM-resident 9-tap accumulation + in-register phase interleave.
-      Measured wave 9 @512^2: 93.92 it/s vs 85.62 'dots' (TPU parity
-      asserted by tools/pallas_seam_check.py; shapes outside seam_ok fall
-      back to 'dots' inside up_conv.py). 'dots' vs 'im2col' there was a
-      wash (85.6 vs 85.3 avg).
-    - f32 (conv-op lowering): one im2col dot (43.71 vs 42.8 'conv' vs
-      40.3 seam-off, two wave-8 sweeps). The Pallas kernel REGRESSES f32
-      (39.28 vs 43.9 @512^2, wave 9): f32 halves every VMEM tile (2-row
-      dgrad/wgrad tiles), doubling grid steps against multi-pass MXU
-      work."""
+    - dots lowering (both dtypes since wave 10): the Pallas fused kernel
+      (ops/pallas_up_conv) — VMEM-resident 9-tap accumulation +
+      in-register phase interleave. bf16 measured wave 9 @512^2: 93.92
+      it/s vs 85.62 'dots' (TPU parity asserted by
+      tools/pallas_seam_check.py; shapes outside seam_ok fall back to
+      'dots' inside up_conv.py). f32 runs the kernels MIXED (bf16 MXU
+      operands, f32 accumulation — pallas_up_conv._mx), numerically
+      identical on TPU to the f32 dots emission it replaces.
+    - conv-op lowering (forced conv_impl='conv'): one im2col dot (43.71
+      vs 42.8 'conv' vs 40.3 seam-off, two wave-8 sweeps); the Pallas
+      seam loses there (24.84 vs 22.78 ms mixed, wave 10 — the
+      surrounding conv-op layouts dominate)."""
     v = _flags["up_conv_impl"]
     if v != "auto":
         return v

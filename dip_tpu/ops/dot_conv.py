@@ -86,18 +86,33 @@ def _conv_s2d(x: jnp.ndarray, kernel: jnp.ndarray, ho: int,
         x = jnp.pad(x, ((0, 0), (0, h % 2), (0, w % 2), (0, 0)))
         h, w = h + h % 2, w + w % 2
     s2 = x.reshape(n, h // 2, 2, w // 2, 2, c)
-    if dispatch.s2d_packed():
+    spk = dispatch.s2d_packed()
+    if spk in ("pallas", "auto"):
+        from dip_tpu.ops import pallas_s2d
+
+        if pallas_s2d.pack_ok(n, h, w, c):
+            spk = "pallas"
+        else:
+            spk = "xla" if spk == "pallas" else "off"
+    if spk != "off":
         # Packed form (dispatch.s2d_packed): materialize s2d ONCE as a 4-D
         # (N, H/2, W/2, 4C) tensor with channel order (row-parity,
-        # col-parity, ci) — a single transpose-copy — and contract with the
-        # remapped kernel E[qy, qx, (p, q, ci), f] = K[2qy+p, 2qx+q, ci, f]
-        # (out-of-range source taps are zeros) in ceil(k/2)^2 full-lane tap
-        # dots.  The k^2 narrow slices of the 6-D view above cost ~0.4
-        # ms/iter of layout copies at 512^2/32ch (r5 bf16 trace); here every
-        # sliced operand is 4C (=128 for the z input conv) lanes wide.  The
-        # extra zero rows in E waste (4 ceil(k/2)^2 / k^2 - 1) of the tap
-        # FLOPs — negligible at this conv's size vs the copy traffic saved.
-        sp = s2.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 2, w // 2, 4 * c)
+        # col-parity, ci) — via the one-pass Pallas kernel (ops/pallas_s2d)
+        # or one XLA transpose — and contract with the remapped kernel
+        # E[qy, qx, (p, q, ci), f] = K[2qy+p, 2qx+q, ci, f] (out-of-range
+        # source taps are zeros) in ceil(k/2)^2 full-lane tap dots.  The
+        # k^2 narrow slices of the 6-D view above cost ~0.4 ms/iter of
+        # layout copies at 512^2/32ch (r5 bf16 trace); here every sliced
+        # operand is 4C (=128 for the z input conv) lanes wide.  The extra
+        # zero rows in E waste (4 ceil(k/2)^2 / k^2 - 1) of the tap FLOPs —
+        # negligible at this conv's size vs the copy traffic saved.
+        if spk == "pallas":
+            from dip_tpu.ops import pallas_s2d
+
+            sp = pallas_s2d.s2d_pack(x)
+        else:
+            sp = s2.transpose(0, 1, 3, 2, 4, 5).reshape(
+                n, h // 2, w // 2, 4 * c)
         qk = -(-kh // 2)
         kp = jnp.pad(kernel, ((0, 2 * qk - kh), (0, 2 * qk - kw),
                               (0, 0), (0, 0)))

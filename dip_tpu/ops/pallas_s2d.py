@@ -1,0 +1,108 @@
+"""Pallas TPU kernel for the packed space-to-depth input transform.
+
+The z input conv (thin-channel stride-2, e.g. 32ch at 512^2 —
+`denoising.ipynb` cell 8's input_depth=32 net input) lowers through
+space-to-depth (ops/dot_conv._conv_s2d).  The r5 bf16 trace showed the
+XLA emission of that transform costing ~0.42 ms/iter of pure data
+movement at the flagship: the 6-D s2d reshape materializes
+([1,514,514,32] -> [1,257,2,257,2,32], 0.19 ms), then two layout copies
+(0.23 ms) reposition it for the tap slices — three HBM round trips of a
+17 MB tensor whose roofline is one (~0.04 ms).  Expressing the pack as a
+single XLA transpose to 4-D (dispatch.s2d_packed='xla') measured WORSE
+(10.80 vs 10.60 ms/iter bf16 — the transpose costs more than the narrow
+slices it replaces; docs/PERF.md wave 9.7).
+
+This kernel does the pack in one pass: HBM sees one read of the padded
+input and one write of the packed (N, H/2, W/2, 4C) tensor; the
+row/column phase interleave happens as VMEM shuffles inside the kernel.
+Channel order matches dot_conv's packed tap-dot path: (row-parity p,
+col-parity q, ci), i.e. out[n, y, x, (p*2 + q)*C + ci] = x[n, 2y+p,
+2x+q, ci].
+
+The transform is a permutation, so the custom VJP is its exact inverse
+(one XLA de-interleave, only traced when the input is differentiated —
+z is not a trainable parameter in the flagship 'net' fits, so the
+backward is DCE'd there; it exists for opt_over='input' runs).
+
+Reference anchor: the stride-2 encoder convs of the skip net,
+/root/reference/models/skip.py:64-70, consuming the noise input of
+/root/reference/utils/common_utils.py:127-153.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# out-rows per grid step; Pallas masks the ragged tail block (H/2 is odd
+# for the flagship's padded 514 -> 257)
+_TR = 8
+
+
+def pack_ok(n: int, h: int, w: int, c: int) -> bool:
+    """Kernel envelope: even spatial dims and a full-lane packed width.
+
+    4C must be a 128-lane multiple for the in-kernel (.., 2, 2, C) ->
+    (.., 4C) minor fold to stay a supported Mosaic shape cast; narrower
+    inputs fall back to the 6-D-view path in dot_conv."""
+    return h % 2 == 0 and w % 2 == 0 and (4 * c) % 128 == 0 and h >= 2 * _TR
+
+
+def _interpret() -> bool:
+    return jax.devices()[0].platform != "tpu"
+
+
+def _pack_kernel(x_ref, out_ref, *, tr, w2, c):
+    # x block: (1, tr, 2, w2, 2, C) — a free 6-D view of (2*tr, W, C) rows.
+    # Four ref-level phase loads + one minor-dim concat: Mosaic rejects
+    # the direct (tr, w2, 2, 2, C) -> (tr, w2, 4C) shape cast at C=32
+    # ('infer-vector-layout: unsupported shape cast'), but strided loads
+    # and a lane concat lower fine.
+    planes = [x_ref[0, :, p, :, q, :] for p in range(2) for q in range(2)]
+    out_ref[0] = jnp.concatenate(planes, axis=-1)
+
+
+@jax.custom_vjp
+def s2d_pack(xp: jnp.ndarray) -> jnp.ndarray:
+    """(N, H, W, C), H/W even -> packed s2d (N, H/2, W/2, 4C) with channel
+    order (row-parity, col-parity, ci)."""
+    n, h, w, c = xp.shape
+    h2, w2 = h // 2, w // 2
+    x6 = xp.reshape(n, h2, 2, w2, 2, c)  # pure view: no data movement
+    grid = (n, -(-h2 // _TR))
+    kern = functools.partial(_pack_kernel, tr=_TR, w2=w2, c=c)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, _TR, 2, w2, 2, c), lambda b, i: (b, i, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, _TR, w2, 4 * c), lambda b, i: (b, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h2, w2, 4 * c), xp.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=0,
+            bytes_accessed=2 * xp.size * xp.dtype.itemsize,
+            transcendentals=0),
+        interpret=_interpret(),
+    )(x6)
+
+
+def _vjp_fwd(xp):
+    return s2d_pack(xp), xp.shape
+
+
+def _vjp_bwd(shape, dsp):
+    n, h, w, c = shape
+    # exact inverse of the permutation (XLA; only live for opt_input fits)
+    dxp = dsp.reshape(n, h // 2, w // 2, 2, 2, c)
+    dxp = dxp.transpose(0, 1, 3, 2, 4, 5).reshape(n, h, w, c)
+    return (dxp,)
+
+
+s2d_pack.defvjp(_vjp_fwd, _vjp_bwd)

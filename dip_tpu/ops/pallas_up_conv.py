@@ -87,8 +87,14 @@ _TH = 8  # bf16 forward
 
 
 def _tiles(itemsize: int) -> tuple[int, int, int]:
-    """(fwd, dgrad, wgrad) row tiles for an element size in bytes."""
-    return (8, 8, 8) if itemsize == 2 else (4, 2, 4)
+    """(fwd, dgrad, wgrad) row tiles for an element size in bytes.
+
+    f32 runs MIXED: tiles are f32 only where HBM I/O is f32 (fwd input/
+    output, dgrad output, wgrad xp/output) — the MXU operands are cast to
+    bf16 in-kernel (see _mx) and dz reaches the backward kernels already
+    in bf16, so dgrad/wgrad fit the same 8-row tiles as the bf16 path;
+    only the forward (f32 out block + f32 acc) stays at 4."""
+    return (8, 8, 8) if itemsize == 2 else (4, 8, 8)
 
 # v5e VMEM is ~16 MB/core; cap the forward tile's f32 accumulator so wide
 # images fall back to the XLA forms instead of failing to compile.
@@ -117,11 +123,22 @@ def _interpret() -> bool:
     return jax.devices()[0].platform != "tpu"
 
 
+def _mx(a: jnp.ndarray) -> jnp.ndarray:
+    """MXU operand precision: f32 operands are cast to bf16 before the
+    dots (accumulation stays f32 in VMEM).  This is the same numeric
+    class as the shipped f32 path's XLA convolutions/dots, which run
+    DEFAULT precision (single bf16 pass, f32 accumulation) — the wave-9
+    full-f32 kernel (f32 multi-pass MXU work on halved tiles) measured
+    39.3 it/s vs the XLA forms' 43.9 and was rejected; this mixed form
+    replaces it."""
+    return a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a
+
+
 # -- forward -----------------------------------------------------------------
 
 
 def _fwd_kernel(xm_ref, xh_ref, e_ref, out_ref, *, th, w, c, f):
-    xt = jnp.concatenate([xm_ref[0], xh_ref[0]], axis=0)  # (th+2, w+2, C)
+    xt = _mx(jnp.concatenate([xm_ref[0], xh_ref[0]], axis=0))  # (th+2,w+2,C)
     acc = jnp.zeros((th * w, 4 * f), jnp.float32)
     for d in range(3):
         for g in range(3):
@@ -139,6 +156,7 @@ def _fwd(xp: jnp.ndarray, e: jnp.ndarray) -> jnp.ndarray:
     h, w = hp - 2, wp - 2
     f = e.shape[-1] // 4
     th = _tiles(xp.dtype.itemsize)[0]
+    e = _mx(e)  # MXU operands are bf16 either way; halves the e block
     grid = (n, h // th)
     kern = functools.partial(_fwd_kernel, th=th, w=w, c=c, f=f)
     return pl.pallas_call(
@@ -205,11 +223,15 @@ def _dgrad_kernel(dm_ref, dh_ref, e_ref, out_ref, *, td, w, c, f):
     out_ref[0] = acc.astype(out_ref.dtype)
 
 
-def _dgrad(dzq: jnp.ndarray, e: jnp.ndarray, xp_shape) -> jnp.ndarray:
-    """dzq: phase-major cotangent (N, h, w, 4F) -> dxp (N, h+2, w+2, C)."""
+def _dgrad(dzq: jnp.ndarray, e: jnp.ndarray, xp_shape,
+           out_dtype) -> jnp.ndarray:
+    """dzq: phase-major cotangent (N, h, w, 4F) -> dxp (N, h+2, w+2, C).
+    dzq arrives in MXU precision (bf16 in both modes — see _vjp_bwd);
+    out_dtype follows xp (f32 in the mixed f32 mode)."""
     n, hp, wp, c = xp_shape
     h, w = hp - 2, wp - 2
     f = e.shape[-1] // 4
+    e = _mx(e)
     # dxp has h+2 rows; produce ceil((h+2)/TD)*TD rows tiled by TD and let
     # the caller slice. dacc needs phase rows -2..rows_out-1 relative to
     # its 0..h-1 domain -> zero-pad dzq by 2 rows top, rows_out-h bottom,
@@ -235,7 +257,7 @@ def _dgrad(dzq: jnp.ndarray, e: jnp.ndarray, xp_shape) -> jnp.ndarray:
         ],
         out_specs=pl.BlockSpec((1, td, w + 2, c), lambda b, i: (b, i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, rows_out, w + 2, c), dzq.dtype),
+        out_shape=jax.ShapeDtypeStruct((n, rows_out, w + 2, c), out_dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * n * rows_out * (w + 2) * 9 * c * 4 * f,
             bytes_accessed=(dzp.size + e.size + n * rows_out * (w + 2) * c)
@@ -259,7 +281,7 @@ def _wgrad_kernel(xm_ref, xh_ref, dz_ref, out_ref, acc_ref, *, tw, w, c, f):
     def _():
         acc_ref[...] = jnp.zeros((9, c, 4 * f), jnp.float32)
 
-    xt = jnp.concatenate([xm_ref[0], xh_ref[0]], axis=0)  # (tw+2, w+2, C)
+    xt = _mx(jnp.concatenate([xm_ref[0], xh_ref[0]], axis=0))  # (tw+2,w+2,C)
     dac = dz_ref[0].reshape(tw * w, 4 * f)  # phase-major (tw, w, 4F) tile
     for d in range(3):
         for g in range(3):
@@ -325,10 +347,12 @@ def _vjp_bwd(res, dz):
     xp, e = res
     n, hh, ww, f = dz.shape
     # HR -> phase-major ONCE in XLA (usually fuses with dz's producer);
-    # both kernels then stream natural-layout (.., w, 4F) slabs.
-    dzq = dz.astype(xp.dtype).reshape(n, hh // 2, 2, ww // 2, 2, f)
+    # both kernels then stream natural-layout (.., w, 4F) slabs.  dz goes
+    # to MXU precision (bf16) here — in the mixed f32 mode this halves the
+    # backward kernels' input DMA and fuses the cast into the transpose.
+    dzq = dz.astype(jnp.bfloat16).reshape(n, hh // 2, 2, ww // 2, 2, f)
     dzq = dzq.transpose(0, 1, 3, 2, 4, 5).reshape(n, hh // 2, ww // 2, 4 * f)
-    dxp = _dgrad(dzq, e, xp.shape)
+    dxp = _dgrad(dzq, e, xp.shape, xp.dtype)
     de = _wgrad(xp, dzq).astype(e.dtype)
     return dxp, de
 

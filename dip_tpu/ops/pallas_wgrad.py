@@ -304,21 +304,23 @@ def conv2d_fast(x: jnp.ndarray, kernel: jnp.ndarray, stride: int,
     """
     # conv-as-shifted-matmuls (ops/dot_conv.py): measured 19.98 -> 15.81 ms
     # for the bf16 512^2 flagship step (+26%) by avoiding the layout copies
-    # XLA inserts around convolution ops — but a regression for f32
-    # (28.3 -> 39.4 ms), so it dispatches on compute dtype. DIP_CONV_DOTS:
-    # unset = auto (bf16 only), "1" = always, "0" = never.
+    # XLA inserts around convolution ops. f32 initially regressed on dots
+    # (28.3 -> 39.4 ms, round 2) and stayed on conv ops through wave 9;
+    # wave 10 re-measured f32 dots under everything that landed since
+    # (sumsq moments, s2d-wide, the mixed-precision Pallas seam) at 20.95
+    # vs 22.78 ms — 'auto' is now dots for BOTH dtypes
+    # (dispatch._dots_lowering). DIP_CONV_DOTS: unset = auto, "1" =
+    # always, "0" = never.
     # (Measured: restricting dots to stride-1 and keeping XLA convs for the
     # stride-2 encoder layers is SLOWER — 17.58 vs 15.81 ms — because the
-    # conv ops reintroduce their layout copies; all-dots wins for bf16.)
-    # Dispatch state: ops/dispatch.py (env at import / FitConfig.conv_impl),
-    # consulted at trace time — 'auto' = dots for bf16 only.
+    # conv ops reintroduce their layout copies; all-dots wins.)
     from dip_tpu.ops import dispatch
 
-    impl = dispatch.conv_impl()
-    if impl == "dots" or (impl == "auto" and x.dtype == jnp.bfloat16):
+    if dispatch.dots_lowering(x.dtype):
         from dip_tpu.ops.dot_conv import conv2d_dots
 
         return conv2d_dots(x, kernel, stride, padding)
+    impl = dispatch.conv_impl()
     # f32 experiment (dispatch.s2d_f32): the thin-channel stride-2 input
     # conv alone through the space-to-depth dots form, conv ops elsewhere
     if (stride == 2 and x.shape[-1] <= 64 and impl != "conv"

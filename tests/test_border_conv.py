@@ -227,7 +227,7 @@ def test_conv2d_dots_s2d_packed_exact():
         with dispatch.override(conv_s2d_wide=wide):
             ref_out = np.asarray(conv2d_dots(x, k, 2, pad))
             ref_gx, ref_gk = jax.grad(f, (0, 1))(x, k)
-            with dispatch.override(s2d_packed=True):
+            with dispatch.override(s2d_packed="xla"):
                 out = np.asarray(conv2d_dots(x, k, 2, pad))
                 gx, gk = jax.grad(f, (0, 1))(x, k)
         np.testing.assert_allclose(out, ref_out, rtol=1e-5, atol=1e-5,
@@ -240,6 +240,39 @@ def test_conv2d_dots_s2d_packed_exact():
         np.testing.assert_allclose(np.asarray(gk), np.asarray(ref_gk),
                                    rtol=1e-4, atol=5e-3,
                                    err_msg=str((h, w, ch, kk)))
+
+
+def test_pallas_s2d_pack_exact():
+    """ops/pallas_s2d.s2d_pack (interpret mode on CPU) is the exact
+    (p, q, ci) packing permutation, its VJP is the exact inverse, and the
+    end-to-end packed conv path matches the 6-D-view path — including a
+    ragged final row tile (H/2 not a multiple of the kernel's row tile)."""
+    from dip_tpu.ops import dispatch
+    from dip_tpu.ops.dot_conv import conv2d_dots
+    from dip_tpu.ops.pallas_s2d import pack_ok, s2d_pack
+
+    rng = np.random.default_rng(17)
+    for h, w in [(32, 32), (34, 18)]:  # 34/2 = 17: ragged tail block
+        x = jnp.asarray(rng.normal(size=(1, h, w, 32)), jnp.float32)
+        assert pack_ok(1, h, w, 32)
+        got = np.asarray(s2d_pack(x))
+        want = np.asarray(x).reshape(1, h // 2, 2, w // 2, 2, 32)
+        want = want.transpose(0, 1, 3, 2, 4, 5).reshape(
+            1, h // 2, w // 2, 128)
+        np.testing.assert_array_equal(got, want)
+        # VJP = exact inverse permutation
+        ct = jnp.asarray(rng.normal(size=got.shape), jnp.float32)
+        (dx,) = jax.vjp(s2d_pack, x)[1](ct)
+        back = np.asarray(ct).reshape(1, h // 2, w // 2, 2, 2, 32)
+        back = back.transpose(0, 1, 3, 2, 4, 5).reshape(1, h, w, 32)
+        np.testing.assert_array_equal(np.asarray(dx), back)
+
+        k = jnp.asarray(rng.normal(size=(3, 3, 32, 8)), jnp.float32)
+        pad = ((1, 0), (1, 0))
+        ref = np.asarray(conv2d_dots(x, k, 2, pad))
+        with dispatch.override(s2d_packed="pallas"):
+            out = np.asarray(conv2d_dots(x, k, 2, pad))
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
 
 
 def test_conv2d_dots_custom_vjp_exact():

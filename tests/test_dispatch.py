@@ -33,11 +33,14 @@ def test_dispatch_flags_roundtrip():
 
 
 def test_up_conv_auto_policy():
-    """The measured split (waves 7-9): seam ON for both dtypes under
-    'auto'; Pallas fused kernel on the bf16 dots lowering (wave 9:
-    93.9 vs 85.6 it/s; shapes outside seam_ok fall back to 'dots' in
-    up_conv.py), one-im2col-dot emission on the f32 conv-op lowering
-    (the Pallas kernel regresses f32). Forcing either side still wins."""
+    """The measured policy (waves 7-10): seam ON for both dtypes under
+    'auto'; since wave 10 BOTH dtypes take the dots lowering (f32
+    re-measured at 20.95 vs 22.78 ms/iter @512^2 on the conv-op
+    lowering), so 'auto' resolves the seam to the Pallas fused kernel for
+    both — bf16 tiles native, f32 mixed-precision (bf16 MXU operands, f32
+    accumulation; same DEFAULT-precision class as XLA's f32 convs).
+    Shapes outside seam_ok fall back to 'dots' in up_conv.py. Forcing the
+    conv-op lowering restores the wave-8 im2col seam emission for f32."""
     bf16 = jnp.zeros((), jnp.bfloat16).dtype  # what skip.py passes: u.dtype
     f32 = jnp.zeros((), jnp.float32).dtype
     with dispatch.override(conv_impl="auto", up_conv="auto",
@@ -45,10 +48,12 @@ def test_up_conv_auto_policy():
         assert dispatch.up_conv_on(bf16)
         assert dispatch.up_conv_on(f32)
         assert dispatch.up_conv_impl(bf16) == "pallas"
-        assert dispatch.up_conv_impl(f32) == "im2col"
-        # forced lowering drags the seam emission with it
-        with dispatch.override(conv_impl="dots"):
-            assert dispatch.up_conv_impl(f32) == "pallas"
+        assert dispatch.up_conv_impl(f32) == "pallas"
+        assert dispatch.dots_lowering(f32)
+        # forcing the conv-op lowering drags the seam emission with it
+        with dispatch.override(conv_impl="conv"):
+            assert not dispatch.dots_lowering(f32)
+            assert dispatch.up_conv_impl(f32) == "im2col"
         with dispatch.override(up_conv_impl="conv"):
             assert dispatch.up_conv_impl(bf16) == "conv"
         with dispatch.override(up_conv="off"):

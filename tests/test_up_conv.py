@@ -217,8 +217,15 @@ def test_pallas_kernel_inside_envelope(hw):
     cot = jnp.asarray(
         rng.normal(size=(1, 2 * h, 2 * w, 128)).astype(np.float32))
 
+    # The kernels run MIXED precision on f32 inputs (bf16 MXU operands,
+    # f32 VMEM accumulation — pallas_up_conv._mx).  The like-for-like
+    # reference is the dots emission under dots_f32_bf16mul, which rounds
+    # the SAME operands (x once, the same phase-folded e per tap) to bf16:
+    # forward then differs only in accumulation order.  The backward
+    # kernels additionally round dz to bf16 before the grad dots (the
+    # dots VJP keeps dz f32), so gradients differ at bf16 class.
     def loss(x, k, impl):
-        with dispatch.override(up_conv_impl=impl):
+        with dispatch.override(up_conv_impl=impl, dots_f32_bf16mul=True):
             z = up2_conv3x3(x, k, "bilinear", "reflection")
         return jnp.sum(z * cot), z
 
@@ -230,7 +237,10 @@ def test_pallas_kernel_inside_envelope(hw):
         has_aux=True)(x, k)
     np.testing.assert_allclose(np.asarray(zp), np.asarray(zd),
                                rtol=1e-4, atol=1e-4)
-    np.testing.assert_allclose(np.asarray(gxp), np.asarray(gxd),
-                               rtol=1e-3, atol=1e-3)
-    np.testing.assert_allclose(np.asarray(gkp), np.asarray(gkd),
-                               rtol=1e-3, atol=1e-3)
+    # dz's bf16 rounding leaves a bf16-class spread on the grads (near-
+    # zero entries make elementwise rtol meaningless) — assert the same
+    # max-normalized relative error the TPU parity tool uses
+    for a, b in ((gxp, gxd), (gkp, gkd)):
+        a, b = np.asarray(a), np.asarray(b)
+        rel = np.max(np.abs(a - b)) / (np.max(np.abs(b)) + 1e-12)
+        assert rel < 2e-2, rel

@@ -43,16 +43,13 @@ def check(h, w, c, f, dtype, up_mode="bilinear", pad_mode="reflection"):
     zb, dxb, dkb = run("dots")
     # bf16 tap sums differ in accumulation dtype (pallas is f32 in VMEM,
     # dots accumulates bf16 for HBM-bandwidth reasons) -> tolerance scales
-    # with dtype.  f32 paths agree to ~1e-4 on fwd/dx; dk reduces over all
-    # h*w positions (65k terms at the flagship) and v5e runs f32 MXU work
-    # as multi-pass bf16 at DEFAULT precision, so its accumulation-order
-    # spread is ~1e-3 — still far inside optimizer noise for a weight grad.
+    # with dtype.  On f32 the kernels run MIXED precision (bf16 MXU
+    # operands, f32 accumulation — pallas_up_conv._mx, the same DEFAULT-
+    # precision class as the shipped f32 XLA convs) while the 'dots'
+    # reference here keeps f32 operands, so f32 parity is bf16-class too.
     rows = []
     for name, a, b in (("fwd", za, zb), ("dx", dxa, dxb), ("dk", dka, dkb)):
-        if dtype == jnp.bfloat16:
-            tol = 3e-2
-        else:
-            tol = 3e-3 if name == "dk" else 2e-4
+        tol = 3e-2
         a = a.astype(jnp.float32)
         b = b.astype(jnp.float32)
         rel = float(jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(b)) + 1e-12))

@@ -210,9 +210,22 @@ VARIANTS = {
     # transpose + 4 full-lane tap dots instead of 9 narrow 6-D-view slices
     # (the r5 trace showed ~0.4 ms/iter of layout copies in that chain)
     "bf16_s2dpk": {"compute_dtype": "bfloat16", "fold_bn": True,
-                   "rng_impl": "rbg", "s2dpk": True},
+                   "rng_impl": "rbg", "s2dpk": "xla"},
     "f32_s2dpk": {"fold_bn": True, "rng_impl": "rbg", "bnm": "sumsq",
-                  "s2df32": True, "s2dpk": True},
+                  "s2df32": True, "s2dpk": "xla"},
+    # round-5: same packed consumer, pack produced by the one-pass Pallas
+    # kernel (ops/pallas_s2d) — one HBM round trip instead of XLA's three
+    "bf16_s2dpp": {"compute_dtype": "bfloat16", "fold_bn": True,
+                   "rng_impl": "rbg", "s2dpk": "pallas"},
+    "f32_s2dpp": {"fold_bn": True, "rng_impl": "rbg", "s2dpk": "pallas"},
+    # round-5: f32 on the FULL dots lowering, re-measured under everything
+    # that landed since the round-2 rejection (sumsq moments, s2d-wide,
+    # border-fix, and — via auto dispatch on the dots lowering — the
+    # mixed-precision Pallas seam). On TPU, f32 dot_generals run DEFAULT
+    # precision (single bf16 pass, f32 acc) just like the conv ops, so
+    # this trades the conv emitter's layout copies (9.9 ms/iter of the
+    # 22.2 ms f32 step, r5 trace) for dots-form matmuls.
+    "f32_dotsfull": {"fold_bn": True, "rng_impl": "rbg", "dots": True},
     # round-5: attribute the LBFGS recipe's 0.98 it/s (VERDICT r4 weak 3) —
     # scanned optax.lbfgs step (zoom linesearch re-evals inside) vs the Adam
     # step under the same f32 defaults; compile_s answers the
