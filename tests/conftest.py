@@ -1,12 +1,23 @@
 """Test harness.
 
-Numeric tests run on whatever accelerator is present (TPU when available —
-this host's single CPU core makes XLA:CPU compiles pathologically slow, so
-the TPU is also the *fast* path).  Convs/matmuls are pinned to HIGHEST
-precision so golden tests against float32 references hold on TPU (whose
-default is bf16 multiplies).  Multi-chip sharding logic is exercised in a
-subprocess with JAX_PLATFORMS=cpu + 8 virtual devices (tests/test_parallel.py),
-the standard fake-backend trick (SURVEY.md §4).
+Numeric tests run on whatever accelerator is present.  Surprising fact
+about this host (measured round 5): the FULL suite is *faster on the
+single CPU core* than on the tunneled TPU — XLA:CPU pays compiles once
+into the persistent cache below, while the tunnel pays an RPC round-trip
+per eager dispatch (~1 test/min TPU vs ~4.4/min CPU).  The complete
+green run is recorded in results/pytest_full_r5_cpu.log (249 passed,
+1 skipped, 56:48 cold).
+
+Tiering: the 20 tests >=45 s (subprocess mesh tests, convergence smokes,
+end-to-end CLI/eval fits) are marked `slow`; `-m "not slow"` runs the
+230-test tier in ~13 min cold on this host, much less with the compile
+cache warm.
+
+Convs/matmuls are pinned to HIGHEST precision so golden tests against
+float32 references hold on TPU (whose default is bf16 multiplies).
+Multi-chip sharding logic is exercised in a subprocess with
+JAX_PLATFORMS=cpu + 8 virtual devices (tests/test_parallel.py), the
+standard fake-backend trick (SURVEY.md §4).
 """
 
 import os

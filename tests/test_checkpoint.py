@@ -1,5 +1,6 @@
 """Checkpoint/resume: a resumed fit continues from the saved step."""
 
+import pytest
 import os
 import tempfile
 
@@ -62,6 +63,7 @@ def test_save_twice_overwrites():
     assert int(restored.step) == 4  # second save won
 
 
+@pytest.mark.slow
 def test_cli_fit_save_ckpt_end_to_end(tmp_path):
     """cli.main fit --save-ckpt across >=2 log chunks (the crash scenario)."""
     from PIL import Image

@@ -48,6 +48,7 @@ def test_cli_requires_task(capsys):
         main(["fit", "--image", "x.png"])
 
 
+@pytest.mark.slow
 def test_cli_fit_multi_image_queue(tmp_path, capsys):
     """`fit --image a.png,b.png` pipelines two independent fits through
     FitQueue and writes one suffixed output per input (VERDICT r2 weak 5:

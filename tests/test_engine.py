@@ -1,5 +1,6 @@
 """Fit-engine tests: convergence smoke, jitter, EMA, backtracking, LBFGS."""
 
+import pytest
 import dataclasses
 
 import jax
@@ -32,6 +33,7 @@ def _toy_image(h=32, w=32):
     return jnp.asarray(img[None])
 
 
+@pytest.mark.slow
 def test_fit_denoising_smoke():
     """Loss must drop and PSNR climb within a few hundred iters (the
     TPU-framework analog of the reference's README convergence check)."""
@@ -75,6 +77,7 @@ def test_fit_masked_inpainting_smoke():
     assert hole_psnr > 20.0
 
 
+@pytest.mark.slow
 def test_ema_initialized_to_first_output():
     target = _toy_image()
     cfg = FitConfig(num_iter=1, lr=0.01, exp_weight=0.99, log_every=1)
@@ -228,6 +231,7 @@ def test_reg_noise_schedule_applied_stds():
     np.testing.assert_allclose(stds[8:], 0.01, rtol=0.05)
 
 
+@pytest.mark.slow
 def test_rng_impl_rbg():
     """cfg.rng_impl='rbg' swaps the in-loop PRNG (TPU-fast RBG) while
     keeping weight init identical to the default-impl run."""

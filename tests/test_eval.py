@@ -1,5 +1,6 @@
 """SR evaluation protocol tests (pure host/CPU math)."""
 
+import pytest
 import numpy as np
 
 from dip_tpu.data.synthetic import synthetic_image
@@ -42,6 +43,7 @@ def test_latex_row():
     assert "ours" in row and "27.12" in row
 
 
+@pytest.mark.slow
 def test_eval_sr_dataset_end_to_end(tmp_path):
     """The full per-image fit loop of eval_sr_dataset on two tiny synthetic
     images (round-1 gap: the loop had never executed)."""

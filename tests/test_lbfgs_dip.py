@@ -54,6 +54,7 @@ class _Replay:
         return out
 
 
+@pytest.mark.slow
 def test_lbfgs_on_tiny_skip_dip():
     noisy, z = _data()
     model = Skip(**CFG)

@@ -245,6 +245,7 @@ def test_spatial_sharding_subprocess():
     assert "OK" in res.stdout
 
 
+@pytest.mark.slow
 def test_sharded_eval_subbatches_groups_larger_than_mesh(tmp_path):
     """A shape group larger than the mesh runs as sequential mesh-size
     sub-batches (one image per device — parallel/batch.py header), and

@@ -112,6 +112,7 @@ _FIT_SMOKE_SKIP = pytest.mark.skipif(
 
 
 @_FIT_SMOKE_SKIP
+@pytest.mark.slow
 def test_feature_inversion_task_smoke():
     from dip_tpu.tasks.feature_inversion import FeatureInversion
     from dip_tpu.tasks.base import run_task
@@ -127,6 +128,7 @@ def test_feature_inversion_task_smoke():
 
 
 @_FIT_SMOKE_SKIP
+@pytest.mark.slow
 def test_activation_maximization_task_smoke():
     from dip_tpu.tasks import activation_maximization as am
     from dip_tpu.tasks.base import run_task

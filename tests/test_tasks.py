@@ -39,6 +39,7 @@ def _toy(h=64, w=64, c=3):
     return img[None]
 
 
+@pytest.mark.slow
 def test_denoise_spec_and_smoke():
     gt = _toy()
     noisy = denoise.get_noisy_image(gt[0], 25 / 255.0)[None]
@@ -57,6 +58,7 @@ def test_denoise_snail_preset():
     assert spec.cfg.num_iter == 2400
 
 
+@pytest.mark.slow
 def test_inpaint_presets():
     img = _toy()
     mask = np.ones_like(img)
@@ -79,6 +81,7 @@ def test_inpaint_library_net_variants():
         assert spec.cfg.num_iter == 3001
 
 
+@pytest.mark.slow
 def test_sr_spec_and_smoke():
     hr = _toy(64, 64)
     lr = hr[:, ::4, ::4, :]  # cheap stand-in LR for the smoke test
@@ -108,6 +111,7 @@ def test_restore_spec():
     assert hist["loss"][-1] < hist["loss"][0]
 
 
+@pytest.mark.slow
 def test_flash_no_flash_smoke():
     flash = _toy()
     noflash = np.clip(_toy() * 0.6 + 0.2, 0, 1)
@@ -118,6 +122,7 @@ def test_flash_no_flash_smoke():
     assert hist["loss"][-1] < hist["loss"][0]
 
 
+@pytest.mark.slow
 def test_sr_learnable_downsampler():
     """opt_over='net,down': the degradation kernel is a trainable leaf.
 

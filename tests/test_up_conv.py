@@ -121,6 +121,7 @@ def test_skip_fused_seam_matches_unfused(fold_bn, up_mode):
                                rtol=5e-5, atol=5e-5)
 
 
+@pytest.mark.slow
 def test_skip_fused_seam_grads_match():
     from dip_tpu.models import Skip
     from dip_tpu.ops import dispatch
