@@ -96,27 +96,58 @@ def _tiles(itemsize: int) -> tuple[int, int, int]:
     only the forward (f32 out block + f32 acc) stays at 4."""
     return (8, 8, 8) if itemsize == 2 else (4, 8, 8)
 
-# v5e VMEM is ~16 MB/core; cap the forward tile's f32 accumulator so wide
-# images fall back to the XLA forms instead of failing to compile.
-_ACC_BYTES_MAX = 12 * 2 ** 20
+# Scoped-VMEM budget: v5e allows 16 MiB of stack per kernel. _est_bytes
+# itemizes each kernel's tile set (double-buffered in/out blocks + scratch
+# + the big in-kernel temps); Mosaic's real allocation runs ~20% above the
+# model (dot operand staging). Two measured anchors calibrate the cutoff:
+#  - flagship top seam (w=256): max estimate 13.01 MiB (bf16 fwd),
+#    compiles and runs on v5e — the shipped default;
+#  - fleet 448x704 image (top seam w=352, f32): wgrad estimated 14.32,
+#    actual 17.19 MiB -> scoped-VMEM compile failure (round-5 fleet eval).
+# 13.5 MiB on the ESTIMATE separates them; anything above falls back to
+# the 'dots' emission in up_conv.py, which is correct at every shape.
+_VMEM_EST_MAX = int(13.5 * 2 ** 20)
 
 
-def seam_ok(n: int, h: int, w: int, c: int, f: int) -> bool:
-    """Whether the Pallas seam kernel supports this shape.
+def _est_bytes(w: int, c: int, f: int, isz: int) -> int:
+    """Max over the 3 kernels of the per-tile scoped-VMEM estimate."""
+    tf, td, tw = _tiles(isz)
+    e_blk = 9 * c * 4 * f * 2  # effective kernel, bf16 in both modes
+    fwd = (2 * (tf + 2) * (w + 2) * c * isz      # xp main+halo blocks (2x)
+           + e_blk
+           + 2 * (2 * tf) * (2 * w) * f * isz    # out blocks (2x)
+           + (tf + 2) * (w + 2) * c * 2          # xt concat temp (bf16)
+           + tf * w * 4 * f * 4                  # f32 accumulator
+           + tf * w * 4 * f * isz)               # interleave temp
+    dgr = (2 * (td + 2) * (w + 4) * 4 * f * 2    # dz blocks, bf16 always
+           + e_blk
+           + 2 * td * (w + 2) * c * isz          # out blocks (2x)
+           + td * (w + 2) * c * 4                # f32 accumulator
+           + td * (w + 4) * c * 4)               # live dot piece
+    wgr = (2 * (tw + 2) * (w + 2) * c * isz      # xp main+halo blocks (2x)
+           + 2 * tw * w * 4 * f * 2              # dz blocks, bf16 (2x)
+           + 9 * c * 4 * f * 4                   # persistent f32 scratch
+           + 9 * c * 4 * f * isz                 # out block
+           + (tw + 2) * (w + 2) * c * 2)         # xt concat temp (bf16)
+    return max(fwd, dgr, wgr)
+
+
+def seam_ok(n: int, h: int, w: int, c: int, f: int, itemsize: int) -> bool:
+    """Whether the Pallas seam kernel supports this shape/dtype.
 
     C and F must be lane-width multiples: the kernels' phase split/merge
     reshapes ((TH*w, 4F) <-> (TH, w, 2, 2, F)) are shape casts on the
     minor dimension, which Mosaic only lowers when the minor dim stays
     128-aligned (measured: f=64 fails 'infer-vector-layout: unsupported
     shape cast' on v5e). The flagship skip-128 decoder is C=F=128 at
-    every seam; narrower seams fall back to the 'dots' emission.
+    every seam; narrower seams fall back to the 'dots' emission.  Wide
+    rows are bounded by the scoped-VMEM budget (_est_bytes above).
     """
     if h % _TH or h < _TH:
         return False
     if c % 128 or f % 128:
         return False
-    acc_bytes = _TH * w * 4 * f * 4
-    return acc_bytes <= _ACC_BYTES_MAX
+    return _est_bytes(w, c, f, itemsize) <= _VMEM_EST_MAX
 
 
 def _interpret() -> bool:

@@ -251,7 +251,7 @@ def up2_conv3x3(x: jnp.ndarray, kernel: jnp.ndarray,
     if impl == "pallas":
         from dip_tpu.ops import pallas_up_conv
 
-        if pallas_up_conv.seam_ok(n, h, w, c, f):
+        if pallas_up_conv.seam_ok(n, h, w, c, f, x.dtype.itemsize):
             # VMEM-resident 9-tap accumulation + in-kernel phase->HR
             # interleave (one LR read, one HR write; f32 accumulator).
             z = pallas_up_conv.up2_conv3x3_pallas(xp, e)

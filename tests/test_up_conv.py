@@ -210,7 +210,7 @@ def test_pallas_kernel_inside_envelope(hw):
     from dip_tpu.ops.pallas_up_conv import seam_ok
 
     h, w = hw
-    assert seam_ok(1, h, w, 128, 128)
+    assert seam_ok(1, h, w, 128, 128, 4)
     rng = np.random.default_rng(h * 31 + w)
     x = jnp.asarray(rng.normal(size=(1, h, w, 128)).astype(np.float32))
     k = jnp.asarray(
@@ -245,3 +245,18 @@ def test_pallas_kernel_inside_envelope(hw):
         a, b = np.asarray(a), np.asarray(b)
         rel = np.max(np.abs(a - b)) / (np.max(np.abs(b)) + 1e-12)
         assert rel < 2e-2, rel
+
+
+def test_seam_vmem_envelope():
+    """Wide rows must be rejected by the scoped-VMEM budget: the round-5
+    fleet eval (448x704 image -> top seam LR 224x352) hit a Mosaic
+    scoped-VMEM compile failure (wgrad tile set 17.19 MiB > 16 MiB) before
+    seam_ok was dtype/width-aware. Flagship 256x256 stays inside."""
+    from dip_tpu.ops.pallas_up_conv import seam_ok
+
+    for isz in (2, 4):
+        assert seam_ok(1, 256, 256, 128, 128, isz)
+        assert not seam_ok(1, 224, 352, 128, 128, isz)
+    # alignment / tiling constraints unchanged
+    assert not seam_ok(1, 64, 56, 32, 64, 2)
+    assert not seam_ok(1, 12, 64, 128, 128, 2)

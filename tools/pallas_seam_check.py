@@ -69,7 +69,13 @@ def main():
 
     # narrow channels are OUTSIDE the envelope (Mosaic minor-dim shape
     # casts need 128-aligned C/F) -> up_conv falls back to 'dots'
-    assert not pallas_up_conv.seam_ok(1, 64, 56, 32, 64)
+    assert not pallas_up_conv.seam_ok(1, 64, 56, 32, 64, 2)
+    # wide rows overflow scoped VMEM (fleet 448x704's top seam OOMed on
+    # v5e at w=352 f32) -> dots fallback
+    assert not pallas_up_conv.seam_ok(1, 224, 352, 128, 128, 4)
+    assert not pallas_up_conv.seam_ok(1, 224, 352, 128, 128, 2)
+    assert pallas_up_conv.seam_ok(1, 256, 256, 128, 128, 2)
+    assert pallas_up_conv.seam_ok(1, 256, 256, 128, 128, 4)
     for dtype in (jnp.bfloat16, jnp.float32):
         check(256, 256, 128, 128, dtype)           # flagship top seam
         if not args.quick:
