@@ -15,6 +15,14 @@ slices it replaces; docs/PERF.md wave 9.7).
 This kernel does the pack in one pass: HBM sees one read of the padded
 input and one write of the packed (N, H/2, W/2, 4C) tensor; the
 row/column phase interleave happens as VMEM shuffles inside the kernel.
+
+VERDICT (r5, measured @512^2x50 on v5e): bf16 10.60 ms/iter vs 10.80 for
+the XLA-transpose pack and 10.27 for the default 6-D-view tap path; f32
+21.46 vs 20.95.  The one-pass pack wins over the XLA pack but the packed
+consumer still loses to the 6-D view's narrow slices (which overlap with
+MXU work, while the packed form serializes an extra tensor write).
+REJECTED as a default — kept as a tested opt-in (DIP_S2D_PACKED=pallas /
+FitConfig.s2d_packed), exact in interpret mode and on TPU.
 Channel order matches dot_conv's packed tap-dot path: (row-parity p,
 col-parity q, ci), i.e. out[n, y, x, (p*2 + q)*C + ci] = x[n, 2y+p,
 2x+q, ci].
@@ -43,6 +51,17 @@ from jax.experimental.pallas import tpu as pltpu
 _TR = 8
 
 
+def _tile_rows(itemsize: int, w2: int, c: int) -> int:
+    """Dtype-aware row tile: the C minor dim lane-pads to 128, so the
+    in+out VMEM footprint is 2 * tr * 2 * w2 * 2 * max(c, 128) * itemsize;
+    halve tr until it fits the 16 MiB scoped-VMEM budget (f32 at the
+    flagship's w2=257 OOMed the full 8-row tile: 16.06 MiB > 16)."""
+    tr = _TR
+    while tr > 1 and 16 * tr * w2 * max(c, 128) * itemsize > 13 * 2**20:
+        tr //= 2
+    return tr
+
+
 def pack_ok(n: int, h: int, w: int, c: int) -> bool:
     """Kernel envelope: even spatial dims and a full-lane packed width.
 
@@ -58,12 +77,13 @@ def _interpret() -> bool:
 
 def _pack_kernel(x_ref, out_ref, *, tr, w2, c):
     # x block: (1, tr, 2, w2, 2, C) — a free 6-D view of (2*tr, W, C) rows.
-    # Four ref-level phase loads + one minor-dim concat: Mosaic rejects
-    # the direct (tr, w2, 2, 2, C) -> (tr, w2, 4C) shape cast at C=32
-    # ('infer-vector-layout: unsupported shape cast'), but strided loads
-    # and a lane concat lower fine.
-    planes = [x_ref[0, :, p, :, q, :] for p in range(2) for q in range(2)]
-    out_ref[0] = jnp.concatenate(planes, axis=-1)
+    # Pure dimension transpose (tr, 2, w2, 2, C) -> (tr, w2, 2, 2, C);
+    # the caller's 5-D out block merges to (.., 4C) as a free XLA view.
+    # (Two rejected Mosaic lowerings: the direct (.., 2, 2, C) -> (.., 4C)
+    # minor fold at C=32 fails 'infer-vector-layout: unsupported shape
+    # cast'; four strided ref loads + lane concat fails 'result/input
+    # offset mismatch on non-concat dimension'.)
+    out_ref[0] = x_ref[0].transpose(0, 2, 1, 3, 4)
 
 
 @jax.custom_vjp
@@ -73,24 +93,27 @@ def s2d_pack(xp: jnp.ndarray) -> jnp.ndarray:
     n, h, w, c = xp.shape
     h2, w2 = h // 2, w // 2
     x6 = xp.reshape(n, h2, 2, w2, 2, c)  # pure view: no data movement
-    grid = (n, -(-h2 // _TR))
-    kern = functools.partial(_pack_kernel, tr=_TR, w2=w2, c=c)
-    return pl.pallas_call(
+    tr = _tile_rows(xp.dtype.itemsize, w2, c)
+    grid = (n, -(-h2 // tr))
+    kern = functools.partial(_pack_kernel, tr=tr, w2=w2, c=c)
+    out6 = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, _TR, 2, w2, 2, c), lambda b, i: (b, i, 0, 0, 0, 0),
+            pl.BlockSpec((1, tr, 2, w2, 2, c), lambda b, i: (b, i, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, _TR, w2, 4 * c), lambda b, i: (b, i, 0, 0),
+        out_specs=pl.BlockSpec((1, tr, w2, 2, 2, c),
+                               lambda b, i: (b, i, 0, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, h2, w2, 4 * c), xp.dtype),
+        out_shape=jax.ShapeDtypeStruct((n, h2, w2, 2, 2, c), xp.dtype),
         cost_estimate=pl.CostEstimate(
             flops=0,
             bytes_accessed=2 * xp.size * xp.dtype.itemsize,
             transcendentals=0),
         interpret=_interpret(),
     )(x6)
+    return out6.reshape(n, h2, w2, 4 * c)  # contiguous merge: free view
 
 
 def _vjp_fwd(xp):
