@@ -115,6 +115,11 @@ class FitConfig:
     # ops/pallas_s2d) | 'auto' (pallas inside its envelope, else the 6-D
     # path). None = process default (DIP_S2D_PACKED env).
     s2d_packed: str | None = None
+    # Emission for thin-channel (C<=16) stride-1 3x3 convs — the decoder's
+    # HR skip-branch convs: 'dots' | 'conv' (one XLA conv op) | 'im2col'
+    # (one narrow column tensor + one dot) | 'auto' (measured policy,
+    # ops/dot_conv.py). None = process default (DIP_THIN_CONV env).
+    thin_conv: str | None = None
     # BN statistics lowering: 'twopass' (jnp.mean + jnp.var) | 'sumsq'
     # (single-read fused sum/sum-of-squares, models/blocks.py). None =
     # process default (DIP_BN_MOMENTS env). Perf experiment.
@@ -231,6 +236,7 @@ class Engine:
                                  dots_vjp=self.cfg.dots_vjp,
                                  s2d_f32=self.cfg.s2d_f32,
                                  s2d_packed=self.cfg.s2d_packed,
+                                 thin_conv=self.cfg.thin_conv,
                                  bn_moments=self.cfg.bn_moments,
                                  up_conv_impl=self.cfg.up_conv_impl)
 

@@ -117,6 +117,9 @@ _flags = {
     "s2d_packed": {"1": "xla", "xla": "xla", "pallas": "pallas",
                    "auto": "auto"}.get(
         os.environ.get("DIP_S2D_PACKED", ""), "off"),
+    "thin_conv": {"dots": "dots", "im2col": "im2col", "conv": "conv",
+                  "auto": "auto"}.get(
+        os.environ.get("DIP_THIN_CONV", ""), "auto"),
     "pallas_wgrad": os.environ.get("DIP_PALLAS_WGRAD", "0"),
     "up_shifts": os.environ.get("DIP_UP_SHIFTS", "") == "1",
     "up_conv": {"1": "on", "on": "on", "0": "off", "off": "off"}.get(
@@ -157,6 +160,9 @@ def set_flags(**kwargs) -> dict:
                                              "im2col", "pallas"):
             raise ValueError("up_conv_impl must be 'auto', 'dots', 'conv', "
                              "'im2col' or 'pallas'")
+        if k == "thin_conv" and v not in ("auto", "dots", "conv", "im2col"):
+            raise ValueError(
+                "thin_conv must be 'auto', 'dots', 'conv' or 'im2col'")
         prev[k] = _flags[k]
         _flags[k] = v
     return prev
@@ -215,6 +221,20 @@ def s2d_packed() -> str:
     'auto'   = 'pallas' inside pallas_s2d.pack_ok, else the 6-D path.
     DIP_S2D_PACKED / FitConfig.s2d_packed."""
     return _flags["s2d_packed"]
+
+
+def thin_conv() -> str:
+    """Emission for thin-channel (C<=16) stride-1 3x3 convs on the dots
+    lowering — the decoder's HR skip-branch convs (C=4), whose 9-tap dots
+    form re-reads/re-writes the full F-wide HBM accumulator per tap
+    (~1.0 ms/iter at the flagship top scale, r5 wave-10 trace).
+
+    'dots'   = the generic tap-dot form;
+    'conv'   = ONE XLA convolution op (on-chip im2col/accumulation);
+    'im2col' = one narrow (N,Ho,Wo,9C) column tensor + ONE dot;
+    'auto'   = the measured policy in dot_conv._conv2d_dots_impl.
+    DIP_THIN_CONV / FitConfig.thin_conv."""
+    return _flags["thin_conv"]
 
 
 def pallas_wgrad_mode() -> str:

@@ -163,11 +163,42 @@ def _conv2d_dots_impl(x: jnp.ndarray, kernel: jnp.ndarray, stride: int = 1,
         (ph0, ph1), (pw0, pw1) = (0, 0), (0, 0)
     else:
         (ph0, ph1), (pw0, pw1) = padding
+    # wave 11: thin-channel stride-1 3x3 convs — the decoder's HR skip
+    # branch (num_channels_skip=4 at every scale of the flagship,
+    # /root/reference/models/skip.py:46,57-60) is pathological as tap
+    # dots: each of the 9 taps re-reads and re-writes the full F-wide
+    # HBM accumulator (the one top-scale instance cost ~1.0 ms/iter of
+    # the 10.3 ms bf16 512^2 step in the r5 wave-10 trace — 7 full
+    # 64 MB add fusions).  Both alternative emissions keep the 9-tap
+    # accumulation on-chip: 'conv' hands the op to the XLA convolution
+    # emitter (internal VMEM im2col; no HBM accumulator traffic);
+    # 'im2col' builds the narrow (N,Ho,Wo,9C) column tensor once and
+    # contracts it in ONE dot.  dispatch.thin_conv selects.
+    thin3 = stride == 1 and kh == kw == 3 and c <= 16
+    tc = dispatch.thin_conv() if thin3 else "dots"
+    if tc == "auto":
+        # measured @512^2x50 on v5e (r5 wave 11, results/profile.jsonl):
+        # im2col 9.26 ms bf16 / 14.80 f32 vs dots 10.27 / 20.95 and the
+        # conv op 12.98 / 17.84 (its layout copies regress the dots
+        # program, as wave 7 found for the seam) — im2col both dtypes
+        tc = "im2col"
+    if tc == "conv":
+        return lax.conv_general_dilated(
+            x, kernel, (1, 1), ((ph0, ph1), (pw0, pw1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC")).astype(x.dtype)
     if ph0 or ph1 or pw0 or pw1:
         x = jnp.pad(x, ((0, 0), (ph0, ph1), (pw0, pw1), (0, 0)))
         h, w = h + ph0 + ph1, w + pw0 + pw1
     ho = (h - kh) // stride + 1
     wo = (w - kw) // stride + 1
+
+    if tc == "im2col":
+        cols = jnp.concatenate(
+            [x[:, dy:dy + ho, dx:dx + wo, :]
+             for dy in range(3) for dx in range(3)], axis=-1)
+        # kernel (3,3,C,F) flattens to (9C, F) in the same (dy, dx, ci)
+        # order the column blocks are concatenated in
+        return _tap_dot(cols, kernel.reshape(9 * c, f)).astype(x.dtype)
 
     if kh == kw == 1:
         xs = x[:, ::stride, ::stride, :]

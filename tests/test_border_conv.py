@@ -321,3 +321,37 @@ def test_conv2d_fast_s2d_f32_dispatch_exact():
     with dispatch.override(s2d_f32=True):
         out = np.asarray(conv2d_fast(x, k, 2, pad))
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_thin_conv_emissions_exact():
+    """The thin-channel stride-1 3x3 emissions ('conv' op and 'im2col'
+    single dot, dispatch.thin_conv) match the tap-dot form exactly in
+    fwd and both grads — the decoder's HR skip branch (C=4,
+    /root/reference/models/skip.py:46,57-60) is the production shape."""
+    from dip_tpu.ops import dispatch
+    from dip_tpu.ops.dot_conv import conv2d_dots
+
+    rng = np.random.default_rng(17)
+    for (h, w), ch in [((12, 10), 4), ((9, 11), 3), ((8, 8), 16)]:
+        x = jnp.asarray(rng.normal(size=(1, h, w, ch)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(3, 3, ch, 8)), jnp.float32)
+        pad = ((1, 1), (1, 1))
+
+        def f(x, k):
+            return jnp.sum(conv2d_dots(x, k, 1, pad) ** 2)
+
+        with dispatch.override(thin_conv="dots"):
+            ref_out = np.asarray(conv2d_dots(x, k, 1, pad))
+            ref_gx, ref_gk = jax.grad(f, (0, 1))(x, k)
+        for impl in ("conv", "im2col"):
+            with dispatch.override(thin_conv=impl):
+                out = np.asarray(conv2d_dots(x, k, 1, pad))
+                gx, gk = jax.grad(f, (0, 1))(x, k)
+            np.testing.assert_allclose(out, ref_out, rtol=1e-5, atol=1e-5,
+                                       err_msg=str((impl, h, w, ch)))
+            np.testing.assert_allclose(np.asarray(gx), np.asarray(ref_gx),
+                                       rtol=1e-4, atol=1e-4,
+                                       err_msg=str((impl, h, w, ch)))
+            np.testing.assert_allclose(np.asarray(gk), np.asarray(ref_gk),
+                                       rtol=1e-4, atol=1e-3,
+                                       err_msg=str((impl, h, w, ch)))

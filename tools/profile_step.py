@@ -39,7 +39,7 @@ def time_variant(name, size, iters, *, upsample="bilinear", metrics=True,
                  optimizer="adam", pad="reflection", skip_ch=4,
                  fold_bn=False, rng_impl=None, unroll=1, dots=None,
                  pack=None, upc=None, s2dwide=None, dvjp=None, s2df32=None,
-                 bnm=None, upci=None, s2dpk=None):
+                 bnm=None, upci=None, s2dpk=None, thin=None):
     import jax
     import jax.numpy as jnp
 
@@ -64,7 +64,7 @@ def time_variant(name, size, iters, *, upsample="bilinear", metrics=True,
                     pack_small_threshold=pack, conv_impl=conv_impl,
                     up_conv=upc, conv_s2d_wide=s2dwide, dots_vjp=dvjp,
                     s2d_f32=s2df32, bn_moments=bnm, up_conv_impl=upci,
-                    s2d_packed=s2dpk)
+                    s2d_packed=s2dpk, thin_conv=thin)
     eng = Engine(model, lambda p, o, a: mse(o, a), cfg,
                  default_metrics(target) if metrics else None)
     z = get_noise(jax.random.key(1), 32, "noise", (size, size))
@@ -143,6 +143,8 @@ VARIANTS = {
     # auto dispatch (product default): dots for bf16 compute
     "bf16_auto": {"compute_dtype": "bfloat16", "fold_bn": True,
                   "rng_impl": "rbg"},
+    # auto dispatch, f32 product default
+    "f32_auto": {"fold_bn": True, "rng_impl": "rbg"},
     # pack small optimizer leaves into one fused update (fit/packed.py)
     "bf16_pack": {"compute_dtype": "bfloat16", "fold_bn": True,
                   "rng_impl": "rbg", "pack": 1 << 15},
@@ -218,6 +220,15 @@ VARIANTS = {
     "bf16_s2dpp": {"compute_dtype": "bfloat16", "fold_bn": True,
                    "rng_impl": "rbg", "s2dpk": "pallas"},
     "f32_s2dpp": {"fold_bn": True, "rng_impl": "rbg", "s2dpk": "pallas"},
+    # wave 11: thin-channel (C=4 skip branch) stride-1 3x3 conv emission —
+    # one XLA conv op / one im2col dot instead of 9 HBM-accumulated taps
+    "bf16_thinconv": {"compute_dtype": "bfloat16", "fold_bn": True,
+                      "rng_impl": "rbg", "thin": "conv"},
+    "bf16_thinim2col": {"compute_dtype": "bfloat16", "fold_bn": True,
+                        "rng_impl": "rbg", "thin": "im2col"},
+    "f32_thinconv": {"fold_bn": True, "rng_impl": "rbg", "thin": "conv"},
+    "f32_thinim2col": {"fold_bn": True, "rng_impl": "rbg",
+                       "thin": "im2col"},
     # round-5: f32 on the FULL dots lowering, re-measured under everything
     # that landed since the round-2 rejection (sumsq moments, s2d-wide,
     # border-fix, and — via auto dispatch on the dots lowering — the
