@@ -120,6 +120,14 @@ class FitConfig:
     # (one narrow column tensor + one dot) | 'auto' (measured policy,
     # ops/dot_conv.py). None = process default (DIP_THIN_CONV env).
     thin_conv: str | None = None
+    # Emission of the Pallas seam backward's HR -> phase-major dz
+    # transform: 'xla' | 'pallas' (one-pass pack kernel, bit-exact) |
+    # 'auto'. None = process default (DIP_SEAM_DZ env).
+    seam_dz: str | None = None
+    # Fold the decoder's skip-branch conv result into the Pallas seam
+    # kernel's epilogue add (True) instead of a separate full-HR XLA add.
+    # None = process default (DIP_SEAM_CARRY env).
+    seam_carry: bool | None = None
     # BN statistics lowering: 'twopass' (jnp.mean + jnp.var) | 'sumsq'
     # (single-read fused sum/sum-of-squares, models/blocks.py). None =
     # process default (DIP_BN_MOMENTS env). Perf experiment.
@@ -237,6 +245,8 @@ class Engine:
                                  s2d_f32=self.cfg.s2d_f32,
                                  s2d_packed=self.cfg.s2d_packed,
                                  thin_conv=self.cfg.thin_conv,
+                                 seam_dz=self.cfg.seam_dz,
+                                 seam_carry=self.cfg.seam_carry,
                                  bn_moments=self.cfg.bn_moments,
                                  up_conv_impl=self.cfg.up_conv_impl)
 

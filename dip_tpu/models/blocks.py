@@ -293,6 +293,14 @@ class Conv(nn.Module):
                 # tensor never materializes; the Skip decoder gates creation
                 # of Up2 parts on ks == 3, stride == 1, reflect/replicate pad
                 assert ks == 3 and stride == 1, (ks, stride)
+                from dip_tpu.ops import dispatch as _dispatch
+
+                if y is not None and _dispatch.seam_carry():
+                    # fold the accumulated non-seam parts (the skip-branch
+                    # conv) into the seam's epilogue add
+                    y = up2_conv3x3(p.x, kp, p.mode, self.pad, carry=y)
+                    off += ci
+                    continue
                 yi = up2_conv3x3(p.x, kp, p.mode, self.pad)
             elif self.pad in ("reflection", "replication") and to_pad > 0:
                 if can_borderfix(ks, stride, p.shape[1], p.shape[2], self.pad):

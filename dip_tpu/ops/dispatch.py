@@ -120,6 +120,9 @@ _flags = {
     "thin_conv": {"dots": "dots", "im2col": "im2col", "conv": "conv",
                   "auto": "auto"}.get(
         os.environ.get("DIP_THIN_CONV", ""), "auto"),
+    "seam_dz": {"xla": "xla", "pallas": "pallas", "auto": "auto"}.get(
+        os.environ.get("DIP_SEAM_DZ", ""), "xla"),
+    "seam_carry": os.environ.get("DIP_SEAM_CARRY", "") == "1",
     "pallas_wgrad": os.environ.get("DIP_PALLAS_WGRAD", "0"),
     "up_shifts": os.environ.get("DIP_UP_SHIFTS", "") == "1",
     "up_conv": {"1": "on", "on": "on", "0": "off", "off": "off"}.get(
@@ -163,6 +166,8 @@ def set_flags(**kwargs) -> dict:
         if k == "thin_conv" and v not in ("auto", "dots", "conv", "im2col"):
             raise ValueError(
                 "thin_conv must be 'auto', 'dots', 'conv' or 'im2col'")
+        if k == "seam_dz" and v not in ("auto", "xla", "pallas"):
+            raise ValueError("seam_dz must be 'auto', 'xla' or 'pallas'")
         prev[k] = _flags[k]
         _flags[k] = v
     return prev
@@ -221,6 +226,23 @@ def s2d_packed() -> str:
     'auto'   = 'pallas' inside pallas_s2d.pack_ok, else the 6-D path.
     DIP_S2D_PACKED / FitConfig.s2d_packed."""
     return _flags["s2d_packed"]
+
+
+def seam_dz() -> str:
+    """Emission of the Pallas seam backward's HR -> phase-major dz
+    transform (pallas_up_conv._vjp_bwd): 'xla' (reshape/transpose chain)
+    | 'pallas' / 'auto' (the one-pass ops/pallas_s2d pack kernel with a
+    fused bf16 cast, falling back to 'xla' outside pack_ok).  Bit-exact
+    either way — pure data movement.  DIP_SEAM_DZ / FitConfig.seam_dz."""
+    return _flags["seam_dz"]
+
+
+def seam_carry() -> bool:
+    """Fold the decoder's accumulated non-seam conv parts (the skip
+    branch) into the Pallas seam kernel's epilogue add (blocks.Conv ->
+    up_conv.up2_conv3x3(carry=...)) instead of a separate full-HR XLA
+    add.  DIP_SEAM_CARRY / FitConfig.seam_carry."""
+    return _flags["seam_carry"]
 
 
 def thin_conv() -> str:

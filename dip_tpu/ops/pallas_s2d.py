@@ -83,17 +83,19 @@ def _pack_kernel(x_ref, out_ref, *, tr, w2, c):
     # minor fold at C=32 fails 'infer-vector-layout: unsupported shape
     # cast'; four strided ref loads + lane concat fails 'result/input
     # offset mismatch on non-concat dimension'.)
-    out_ref[0] = x_ref[0].transpose(0, 2, 1, 3, 4)
+    out_ref[0] = x_ref[0].transpose(0, 2, 1, 3, 4).astype(out_ref.dtype)
 
 
-@jax.custom_vjp
-def s2d_pack(xp: jnp.ndarray) -> jnp.ndarray:
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def s2d_pack(xp: jnp.ndarray, out_dtype=None) -> jnp.ndarray:
     """(N, H, W, C), H/W even -> packed s2d (N, H/2, W/2, 4C) with channel
-    order (row-parity, col-parity, ci)."""
+    order (row-parity, col-parity, ci).  `out_dtype` fuses a dtype cast
+    into the single pass (used by the seam backward's f32 -> bf16 dz)."""
     n, h, w, c = xp.shape
     h2, w2 = h // 2, w // 2
+    out_dtype = xp.dtype if out_dtype is None else jnp.dtype(out_dtype)
     x6 = xp.reshape(n, h2, 2, w2, 2, c)  # pure view: no data movement
-    tr = _tile_rows(xp.dtype.itemsize, w2, c)
+    tr = _tile_rows(max(xp.dtype.itemsize, out_dtype.itemsize), w2, c)
     grid = (n, -(-h2 // tr))
     kern = functools.partial(_pack_kernel, tr=tr, w2=w2, c=c)
     out6 = pl.pallas_call(
@@ -106,26 +108,29 @@ def s2d_pack(xp: jnp.ndarray) -> jnp.ndarray:
         out_specs=pl.BlockSpec((1, tr, w2, 2, 2, c),
                                lambda b, i: (b, i, 0, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, h2, w2, 2, 2, c), xp.dtype),
+        out_shape=jax.ShapeDtypeStruct((n, h2, w2, 2, 2, c), out_dtype),
         cost_estimate=pl.CostEstimate(
             flops=0,
-            bytes_accessed=2 * xp.size * xp.dtype.itemsize,
+            bytes_accessed=xp.size * (xp.dtype.itemsize
+                                      + out_dtype.itemsize),
             transcendentals=0),
         interpret=_interpret(),
     )(x6)
     return out6.reshape(n, h2, w2, 4 * c)  # contiguous merge: free view
 
 
-def _vjp_fwd(xp):
-    return s2d_pack(xp), xp.shape
+def _vjp_fwd(xp, out_dtype):
+    # residual: shape + a zero-size dtype prototype (dtype objects are not
+    # pytree leaves)
+    return s2d_pack(xp, out_dtype), (xp.shape, jnp.zeros((0,), xp.dtype))
 
 
-def _vjp_bwd(shape, dsp):
-    n, h, w, c = shape
+def _vjp_bwd(out_dtype, res, dsp):
+    (n, h, w, c), proto = res
     # exact inverse of the permutation (XLA; only live for opt_input fits)
     dxp = dsp.reshape(n, h // 2, w // 2, 2, 2, c)
     dxp = dxp.transpose(0, 1, 3, 2, 4, 5).reshape(n, h, w, c)
-    return (dxp,)
+    return (dxp.astype(proto.dtype),)
 
 
 s2d_pack.defvjp(_vjp_fwd, _vjp_bwd)

@@ -168,7 +168,8 @@ def _mx(a: jnp.ndarray) -> jnp.ndarray:
 # -- forward -----------------------------------------------------------------
 
 
-def _fwd_kernel(xm_ref, xh_ref, e_ref, out_ref, *, th, w, c, f):
+def _fwd_kernel(xm_ref, xh_ref, e_ref, *rest, th, w, c, f):
+    cr_ref, out_ref = rest if len(rest) == 2 else (None, rest[0])
     xt = _mx(jnp.concatenate([xm_ref[0], xh_ref[0]], axis=0))  # (th+2,w+2,C)
     acc = jnp.zeros((th * w, 4 * f), jnp.float32)
     for d in range(3):
@@ -179,40 +180,70 @@ def _fwd_kernel(xm_ref, xh_ref, e_ref, out_ref, *, th, w, c, f):
     z = acc.reshape(th, w, 2, 2, f).astype(out_ref.dtype)
     # phase -> HR interleave in VMEM: out[2r+p, 2s+q, :] = z[r, s, p, q, :]
     z = z.transpose(0, 2, 1, 3, 4).reshape(2 * th, 2 * w, f)
+    if cr_ref is not None:
+        # carry-in (the skip-branch conv result): the epilogue add runs in
+        # the OUTPUT dtype, matching the XLA emission it replaces (IEEE
+        # addition is bitwise commutative, so operand order is free)
+        z = z + cr_ref[0]
     out_ref[0] = z
 
 
-def _fwd(xp: jnp.ndarray, e: jnp.ndarray) -> jnp.ndarray:
+def _fwd_tile(itemsize: int, w: int, c: int, f: int, carry: bool) -> int:
+    """Forward row tile, shrunk (h % 8 == 0 via seam_ok, so halving stays
+    aligned) until the per-tile VMEM estimate — including the carry
+    blocks when present — fits the scoped budget."""
+    th = _tiles(itemsize)[0]
+    while th > 2:
+        est = (2 * (th + 2) * (w + 2) * c * itemsize
+               + 9 * c * 4 * f * 2
+               + (2 + 2 * bool(carry)) * (2 * th) * (2 * w) * f * itemsize
+               + (th + 2) * (w + 2) * c * 2
+               + th * w * 4 * f * 4
+               + th * w * 4 * f * itemsize)
+        if est <= _VMEM_EST_MAX:
+            return th
+        th //= 2
+    return th
+
+
+def _fwd(xp: jnp.ndarray, e: jnp.ndarray,
+         carry: jnp.ndarray | None = None) -> jnp.ndarray:
     n, hp, wp, c = xp.shape
     h, w = hp - 2, wp - 2
     f = e.shape[-1] // 4
-    th = _tiles(xp.dtype.itemsize)[0]
+    th = _fwd_tile(xp.dtype.itemsize, w, c, f, carry is not None)
     e = _mx(e)  # MXU operands are bf16 either way; halves the e block
     grid = (n, h // th)
     kern = functools.partial(_fwd_kernel, th=th, w=w, c=c, f=f)
+    out_spec = pl.BlockSpec((1, 2 * th, 2 * w, f), lambda b, i: (b, i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((1, th, w + 2, c), lambda b, i: (b, i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 2, w + 2, c),
+                     lambda b, i: (b, (i + 1) * (th // 2), 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, 3, c, 4 * f), lambda b, i: (0, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = (xp, xp, e)
+    if carry is not None:
+        in_specs.append(out_spec)
+        args = args + (carry,)
     return pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, th, w + 2, c), lambda b, i: (b, i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, w + 2, c),
-                         lambda b, i: (b, (i + 1) * (th // 2), 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, 3, c, 4 * f), lambda b, i: (0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, 2 * th, 2 * w, f),
-                               lambda b, i: (b, i, 0, 0),
-                               memory_space=pltpu.VMEM),
+        in_specs=in_specs,
+        out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((n, 2 * h, 2 * w, f), xp.dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * n * h * w * 9 * c * 4 * f,
-            bytes_accessed=(xp.size + e.size + n * 4 * h * w * f)
-            * xp.dtype.itemsize,
+            bytes_accessed=(xp.size + e.size
+                            + (1 + bool(carry is not None)) * n * 4 * h * w
+                            * f) * xp.dtype.itemsize,
             transcendentals=0),
         interpret=_interpret(),
-    )(xp, xp, e)
+    )(*args)
 
 
 # -- backward: data gradient --------------------------------------------------
@@ -377,15 +408,56 @@ def _vjp_fwd(xp, e):
 def _vjp_bwd(res, dz):
     xp, e = res
     n, hh, ww, f = dz.shape
-    # HR -> phase-major ONCE in XLA (usually fuses with dz's producer);
-    # both kernels then stream natural-layout (.., w, 4F) slabs.  dz goes
-    # to MXU precision (bf16) here — in the mixed f32 mode this halves the
-    # backward kernels' input DMA and fuses the cast into the transpose.
-    dzq = dz.astype(jnp.bfloat16).reshape(n, hh // 2, 2, ww // 2, 2, f)
-    dzq = dzq.transpose(0, 1, 3, 2, 4, 5).reshape(n, hh // 2, ww // 2, 4 * f)
+    # HR -> phase-major ONCE; both kernels then stream natural-layout
+    # (.., w, 4F) slabs.  dz goes to MXU precision (bf16) here — in the
+    # mixed f32 mode this halves the backward kernels' input DMA.  The
+    # transform IS the packed space-to-depth permutation (same
+    # (row-parity, col-parity, c) channel order), and XLA's emission of
+    # it ran 2.4x over roofline in the r5 wave-11 trace (reshape.14476 +
+    # copy_bitcast 0.32 ms/iter for a 134 MB round trip at the flagship),
+    # so inside its envelope it goes through the one-pass Pallas pack
+    # kernel (ops/pallas_s2d, cast fused); dispatch.seam_dz selects.
+    from dip_tpu.ops import dispatch as _dispatch
+
+    sdz = _dispatch.seam_dz()
+    if sdz in ("pallas", "auto"):
+        from dip_tpu.ops import pallas_s2d
+
+        if not pallas_s2d.pack_ok(n, hh, ww, f):
+            sdz = "xla"
+    if sdz in ("pallas", "auto"):
+        from dip_tpu.ops import pallas_s2d
+
+        dzq = pallas_s2d.s2d_pack(dz, jnp.bfloat16)
+    else:
+        dzq = dz.astype(jnp.bfloat16).reshape(n, hh // 2, 2, ww // 2, 2, f)
+        dzq = dzq.transpose(0, 1, 3, 2, 4, 5).reshape(
+            n, hh // 2, ww // 2, 4 * f)
     dxp = _dgrad(dzq, e, xp.shape, xp.dtype)
     de = _wgrad(xp, dzq).astype(e.dtype)
     return dxp, de
 
 
 up2_conv3x3_pallas.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+@jax.custom_vjp
+def up2_conv3x3_pallas_carry(xp: jnp.ndarray, e: jnp.ndarray,
+                             carry: jnp.ndarray) -> jnp.ndarray:
+    """Fused seam + carry-in: returns up2_conv3x3_pallas(xp, e) + carry
+    with the add in the kernel epilogue (VMEM), so the XLA full-HR add of
+    the decoder's skip-branch result never runs as a separate pass.
+    carry must match the output shape/dtype (N, 2h, 2w, F)."""
+    return _fwd(xp, e, carry)
+
+
+def _vjp_fwd_carry(xp, e, carry):
+    return _fwd(xp, e, carry), (xp, e)
+
+
+def _vjp_bwd_carry(res, dz):
+    dxp, de = _vjp_bwd(res, dz)
+    return dxp, de, dz  # d(carry) = identity
+
+
+up2_conv3x3_pallas_carry.defvjp(_vjp_fwd_carry, _vjp_bwd_carry)

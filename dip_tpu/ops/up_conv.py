@@ -229,11 +229,17 @@ def _add_reflect_corrections(z: jnp.ndarray, x: jnp.ndarray,
 
 def up2_conv3x3(x: jnp.ndarray, kernel: jnp.ndarray,
                 up_mode: str = "bilinear",
-                pad_mode: str = "reflection") -> jnp.ndarray:
+                pad_mode: str = "reflection",
+                carry: jnp.ndarray | None = None) -> jnp.ndarray:
     """conv_valid(pad1_{pad_mode}(upsample(x, 2, up_mode)), kernel), fused.
 
     x: (N, h, w, C), kernel: (3, 3, C, F) -> (N, 2h, 2w, F). No bias
     (callers add it once, as with the other conv lowerings).
+
+    `carry` (same shape/dtype as the output) is added to the result —
+    inside the Pallas kernel's epilogue when that path is taken
+    (dispatch.seam_carry; the decoder's skip-branch result then never
+    costs a separate full-HR add pass), as a plain add otherwise.
     """
     n, h, w, c = x.shape
     kh, kw, c2, f = kernel.shape
@@ -254,7 +260,11 @@ def up2_conv3x3(x: jnp.ndarray, kernel: jnp.ndarray,
         if pallas_up_conv.seam_ok(n, h, w, c, f, x.dtype.itemsize):
             # VMEM-resident 9-tap accumulation + in-kernel phase->HR
             # interleave (one LR read, one HR write; f32 accumulator).
-            z = pallas_up_conv.up2_conv3x3_pallas(xp, e)
+            if carry is not None:
+                z = pallas_up_conv.up2_conv3x3_pallas_carry(xp, e, carry)
+                carry = None
+            else:
+                z = pallas_up_conv.up2_conv3x3_pallas(xp, e)
             if up_mode == "bilinear" and pad_mode in ("reflection",
                                                       "reflect"):
                 z = _add_reflect_corrections(z, x, kernel)
@@ -290,6 +300,8 @@ def up2_conv3x3(x: jnp.ndarray, kernel: jnp.ndarray,
                 acc = term if acc is None else acc + term
     z = acc.astype(x.dtype).reshape(n, h, w, 2, 2, f)
     z = z.transpose(0, 1, 3, 2, 4, 5).reshape(n, 2 * h, 2 * w, f)
+    if carry is not None:
+        z = z + carry
     if up_mode == "bilinear" and pad_mode in ("reflection", "reflect"):
         z = _add_reflect_corrections(z, x, kernel)
     return z

@@ -260,3 +260,103 @@ def test_seam_vmem_envelope():
     # alignment / tiling constraints unchanged
     assert not seam_ok(1, 64, 56, 32, 64, 2)
     assert not seam_ok(1, 12, 64, 128, 128, 2)
+
+
+def test_seam_dz_pallas_transform_exact():
+    """seam_dz='pallas' routes the backward's HR -> phase-major dz
+    transform through ops/pallas_s2d.s2d_pack (fused bf16 cast) — pure
+    data movement, so dxp/de must be BIT-identical to the XLA chain."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dip_tpu.ops import dispatch
+    from dip_tpu.ops.pallas_up_conv import up2_conv3x3_pallas
+
+    rng = np.random.default_rng(23)
+    for dtype in (jnp.bfloat16, jnp.float32):
+        xp = jnp.asarray(rng.normal(size=(1, 18, 12, 128)), dtype)
+        e = jnp.asarray(rng.normal(size=(3, 3, 128, 512)) * 0.1, dtype)
+
+        def loss(xp, e):
+            return jnp.sum(up2_conv3x3_pallas(xp, e).astype(jnp.float32) ** 2)
+
+        with dispatch.override(seam_dz="xla"):
+            gx_ref, ge_ref = jax.grad(loss, (0, 1))(xp, e)
+        with dispatch.override(seam_dz="pallas"):
+            gx, ge = jax.grad(loss, (0, 1))(xp, e)
+        np.testing.assert_array_equal(np.asarray(gx), np.asarray(gx_ref),
+                                      err_msg=str(dtype))
+        np.testing.assert_array_equal(np.asarray(ge), np.asarray(ge_ref),
+                                      err_msg=str(dtype))
+
+
+def test_seam_carry_exact():
+    """up2_conv3x3(carry=y) (Pallas epilogue add) matches
+    up2_conv3x3(...) + y in fwd and all three grads; and a Skip forward
+    with dispatch.seam_carry on matches the default within bf16-add
+    reassociation tolerance (the reflect corrections then apply after the
+    carry add instead of before — border strips only)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dip_tpu.ops import dispatch
+    from dip_tpu.ops.up_conv import up2_conv3x3
+
+    rng = np.random.default_rng(29)
+    x = jnp.asarray(rng.normal(size=(1, 16, 8, 128)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(3, 3, 128, 128)) * 0.05, jnp.float32)
+    cr = jnp.asarray(rng.normal(size=(1, 32, 16, 128)), jnp.float32)
+
+    with dispatch.override(up_conv_impl="pallas"):
+        ref = np.asarray(up2_conv3x3(x, k) + cr)
+        got = np.asarray(up2_conv3x3(x, k, carry=cr))
+        # interior identical; border rows/cols differ only by the
+        # (corr + carry) reassociation — f32, so ~1e-6 relative
+        np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+        def f_ref(x, k, cr):
+            return jnp.sum((up2_conv3x3(x, k) + cr) ** 2)
+
+        def f_got(x, k, cr):
+            return jnp.sum(up2_conv3x3(x, k, carry=cr) ** 2)
+
+        g_ref = jax.grad(f_ref, (0, 1, 2))(x, k, cr)
+        g_got = jax.grad(f_got, (0, 1, 2))(x, k, cr)
+    for a, b, nm in zip(g_got, g_ref, "xkc"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4, err_msg=nm)
+
+
+def test_skip_seam_carry_model_parity():
+    """Skip forward+grad with seam_carry on vs off (pallas seam forced):
+    same loss to float tolerance on a small flagship-shaped net."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dip_tpu.models import Skip
+    from dip_tpu.ops import dispatch
+
+    model = Skip(num_channels_down=[128] * 2, num_channels_up=[128] * 2,
+                 num_channels_skip=[4] * 2, fold_bn=True)
+    z = jnp.asarray(np.random.default_rng(0).normal(
+        size=(1, 32, 32, 8)), jnp.float32) * 0.1
+    with dispatch.override(up_conv_impl="pallas", conv_impl="dots"):
+        params = model.init(jax.random.key(0), z)
+
+        def loss(p, on):
+            with dispatch.override(seam_carry=on):
+                return jnp.mean(model.apply(p, z) ** 2)
+
+        l_off = loss(params, False)
+        l_on = loss(params, True)
+        g_off = jax.grad(lambda p: loss(p, False))(params)
+        g_on = jax.grad(lambda p: loss(p, True))(params)
+    np.testing.assert_allclose(float(l_on), float(l_off), rtol=1e-5)
+    fl_off = jax.tree_util.tree_leaves(g_off)
+    fl_on = jax.tree_util.tree_leaves(g_on)
+    for a, b in zip(fl_on, fl_off):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4)

@@ -39,7 +39,8 @@ def time_variant(name, size, iters, *, upsample="bilinear", metrics=True,
                  optimizer="adam", pad="reflection", skip_ch=4,
                  fold_bn=False, rng_impl=None, unroll=1, dots=None,
                  pack=None, upc=None, s2dwide=None, dvjp=None, s2df32=None,
-                 bnm=None, upci=None, s2dpk=None, thin=None):
+                 bnm=None, upci=None, s2dpk=None, thin=None, seamdz=None,
+                 seamcr=None):
     import jax
     import jax.numpy as jnp
 
@@ -64,7 +65,8 @@ def time_variant(name, size, iters, *, upsample="bilinear", metrics=True,
                     pack_small_threshold=pack, conv_impl=conv_impl,
                     up_conv=upc, conv_s2d_wide=s2dwide, dots_vjp=dvjp,
                     s2d_f32=s2df32, bn_moments=bnm, up_conv_impl=upci,
-                    s2d_packed=s2dpk, thin_conv=thin)
+                    s2d_packed=s2dpk, thin_conv=thin, seam_dz=seamdz,
+                    seam_carry=seamcr)
     eng = Engine(model, lambda p, o, a: mse(o, a), cfg,
                  default_metrics(target) if metrics else None)
     z = get_noise(jax.random.key(1), 32, "noise", (size, size))
@@ -229,6 +231,21 @@ VARIANTS = {
     "f32_thinconv": {"fold_bn": True, "rng_impl": "rbg", "thin": "conv"},
     "f32_thinim2col": {"fold_bn": True, "rng_impl": "rbg",
                        "thin": "im2col"},
+    # wave 12a: seam backward dz transform through the one-pass Pallas
+    # pack kernel (bit-exact data movement; XLA chain ran 2.4x roofline)
+    "bf16_seamdz": {"compute_dtype": "bfloat16", "fold_bn": True,
+                    "rng_impl": "rbg", "seamdz": "pallas"},
+    "f32_seamdz": {"fold_bn": True, "rng_impl": "rbg", "seamdz": "pallas"},
+    # wave 12b: skip-branch result folded into the seam kernel's epilogue
+    # add (carry-in operand; halves the fwd row tile for VMEM)
+    "bf16_seamcr": {"compute_dtype": "bfloat16", "fold_bn": True,
+                    "rng_impl": "rbg", "seamcr": True},
+    "f32_seamcr": {"fold_bn": True, "rng_impl": "rbg", "seamcr": True},
+    # both wave-12 levers together
+    "bf16_w12": {"compute_dtype": "bfloat16", "fold_bn": True,
+                 "rng_impl": "rbg", "seamdz": "pallas", "seamcr": True},
+    "f32_w12": {"fold_bn": True, "rng_impl": "rbg", "seamdz": "pallas",
+                "seamcr": True},
     # round-5: f32 on the FULL dots lowering, re-measured under everything
     # that landed since the round-2 rejection (sumsq moments, s2d-wide,
     # border-fix, and — via auto dispatch on the dots lowering — the
